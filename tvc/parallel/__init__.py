@@ -1,0 +1,11 @@
+from tvc.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    MeshConfig,
+    create_mesh,
+    data_sharding,
+    local_mesh_for_tests,
+    pad_to_multiple,
+    replicated,
+    shard_batch,
+)

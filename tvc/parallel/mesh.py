@@ -1,0 +1,102 @@
+"""Device mesh + sharding helpers (SPMD over ICI/DCN).
+
+Replaces the reference's three GPU-parallelism mechanisms — ``nn.DataParallel``
+replication inside every attack (reference src/attacks/pgd_attack.py:130-138),
+the per-GPU ``GPUWorker`` queue pool (src/utils/multi_gpu_processor.py:49-352),
+and the NCCL DDP scaffolding (:494-620) — with a single
+``jax.sharding.Mesh`` and named shardings. Batch dims shard over the
+``data`` axis; embedding banks shard their row dim over the ``bank`` axis
+(which defaults to the same devices, see tvc/bank/index.py).
+
+Works identically on a real TPU slice and on the 8-device virtual CPU mesh
+used in tests (XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical mesh description (configs/default.yaml ``device.mesh``)."""
+
+    axes: Tuple[str, ...] = (DATA_AXIS,)
+    shape: Tuple[int, ...] = (-1,)  # -1 = all remaining devices
+
+    def resolve_shape(self, n_devices: int) -> Tuple[int, ...]:
+        shape = list(self.shape)
+        known = int(np.prod([s for s in shape if s != -1])) if shape else 1
+        if -1 in shape:
+            if n_devices % max(known, 1) != 0:
+                raise ValueError(
+                    f"cannot infer mesh axis: {n_devices} devices not divisible by {known}"
+                )
+            shape[shape.index(-1)] = n_devices // max(known, 1)
+        if int(np.prod(shape)) != n_devices:
+            raise ValueError(
+                f"mesh shape {tuple(shape)} does not cover {n_devices} devices"
+            )
+        return tuple(shape)
+
+
+def create_mesh(
+    config: Optional[MeshConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh over all (or the given) devices.
+
+    On multi-host deployments call ``jax.distributed.initialize()`` first
+    (the TPU equivalent of the reference's ``init_process_group``,
+    multi_gpu_processor.py:513-532); ``jax.devices()`` then spans hosts.
+    """
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    shape = config.resolve_shape(len(devices))
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, config.axes)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim over ``axis``; replicate the rest."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    Batch sizes must be divisible by the axis size (pad at the data layer;
+    tvc/data keeps batches mesh-divisible).
+    """
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim, axis))
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def local_mesh_for_tests(n: int = 8, axes: Tuple[str, ...] = (DATA_AXIS,)) -> Mesh:
+    """Mesh over the first ``n`` available devices (tests/dry runs)."""
+    devs = jax.devices()
+    if len(devs) < n:
+        raise RuntimeError(f"need {n} devices, have {len(devs)}")
+    shape = (-1,) + (1,) * (len(axes) - 1)
+    return create_mesh(MeshConfig(axes=axes, shape=shape), devs[:n])
