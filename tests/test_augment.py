@@ -1,0 +1,96 @@
+"""Text augmentation: strategies, filtering, dedup, API parity."""
+
+import numpy as np
+
+from tvc.augment import (
+    SynonymReplacer,
+    SyntaxTransformer,
+    TemplateAugmenter,
+    TextAugmentConfig,
+    TextAugmenter,
+    is_valid_text,
+    normalize_text,
+)
+
+
+def test_is_valid_text():
+    assert is_valid_text("a red car")
+    assert not is_valid_text("")
+    assert not is_valid_text("hi")  # too short
+    assert not is_valid_text("x" * 2000)  # too long
+    assert not is_valid_text("word")  # fewer than 2 words
+
+
+def test_normalize_text():
+    assert normalize_text("  A  Red   CAR ") == "a red car"
+
+
+def test_synonym_replacer_deterministic():
+    cfg = TextAugmentConfig(seed=1)
+    a = SynonymReplacer(cfg).augment("a big dog runs on the street", 3)
+    b = SynonymReplacer(TextAugmentConfig(seed=1)).augment("a big dog runs on the street", 3)
+    assert a == b
+    assert any(v != "a big dog runs on the street" for v in a)
+
+
+def test_syntax_transformer_clause_reorder():
+    out = SyntaxTransformer(TextAugmentConfig()).augment(
+        "a man rides a bike and a dog follows him", 5
+    )
+    assert any("and" in v for v in out)
+    out2 = SyntaxTransformer(TextAugmentConfig()).augment(
+        "the food looked good but it tasted bad", 5
+    )
+    assert any(v.startswith("Although") for v in out2)
+
+
+def test_template_augmenter():
+    out = TemplateAugmenter(TextAugmentConfig()).augment("A dog on grass.", 3)
+    assert len(out) == 3
+    assert out[0] == "a photo of a dog on grass"
+
+
+def test_text_augmenter_generates_and_dedups():
+    aug = TextAugmenter(TextAugmentConfig(max_variants=5, seed=0))
+    variants = aug.generate_variants("a big dog runs fast and a small cat sits")
+    assert 1 <= len(variants) <= 5
+    assert len(set(normalize_text(v) for v in variants)) == len(variants)
+    # original never included
+    assert "a big dog runs fast and a small cat sits" not in variants
+    # alias parity
+    assert aug.augment("a big dog runs fast and a small cat sits") is not None
+
+
+def test_text_augmenter_with_paraphrase_injection():
+    calls = []
+
+    def fake_qwen(text, n):
+        calls.append(text)
+        return [f"paraphrase {i} of the text about things" for i in range(n)]
+
+    aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_synonym_replacement=False,
+            enable_syntax_transformation=False,
+            enable_template=False,
+        ),
+        paraphrase_generator=fake_qwen,
+    )
+    out = aug.generate_variants("a man walks", 3)
+    assert calls == ["a man walks"]
+    assert len(out) == 3
+
+
+def test_text_augmenter_clip_ranking():
+    from tvc.models import CLIPConfig, CLIPModel
+
+    clip = CLIPModel(CLIPConfig.tiny(), seed=0)
+    aug = TextAugmenter(TextAugmentConfig(min_similarity_threshold=0.0, max_similarity_threshold=1.0), clip_model=clip)
+    out = aug.generate_variants("a large brown dog runs across the field")
+    assert len(out) >= 1
+
+
+def test_batch_generate():
+    aug = TextAugmenter()
+    outs = aug.batch_generate_variants(["a big dog runs", "a red car drives"], 3)
+    assert len(outs) == 2

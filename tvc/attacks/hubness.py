@@ -1,0 +1,212 @@
+"""Hubness attack (arXiv 2412.14113 reproduction) as a jitted program.
+
+Makes one image a "hub": optimizes it to be the top-1 retrieval result for
+many text queries simultaneously. Behavior parity with reference
+src/attacks/hubness_attack.py: loss = -mean cos(image, query set)
+(:671-674), ε=16/255 L∞, 500 signed-gradient steps (:48-49), per-sample
+random query subsets (:283-304), hubness score = fraction of queries whose
+top-1 among the gallery ∪ {adv} is the adv image (:482-498), success at
+score > 0.84 (:55).
+
+TPU rewrite: the reference loops python-per-sample inside 500 iterations
+(:324-335); here the whole [B]-batch attack, including each sample's [Q]
+query set, is one einsum per step inside ``lax.fori_loop``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from tvc.attacks.common import (
+    AttackResult,
+    AttackStats,
+    l2_project,
+    linf_project,
+    make_encoder,
+    prepare_images,
+    result_from_device,
+)
+from tvc.core.similarity import l2_normalize
+from tvc.models.clip import CLIPModel
+
+
+@dataclasses.dataclass(frozen=True)
+class HubnessAttackConfig:
+    """(reference src/attacks/hubness_attack.py:40-100)"""
+
+    epsilon: float = 16.0 / 255.0
+    alpha: float = 2.0 / 255.0  # step size
+    num_iterations: int = 500
+    num_target_queries: int = 100
+    success_threshold: float = 0.84
+    norm_type: str = "linf"  # linf | l2
+    seed: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HubnessAttackConfig":
+        """(reference :101)"""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+class HubnessAttack:
+    """Exported as ``HubnessAttacker`` too (reference attacks/__init__.py:8)."""
+
+    def __init__(self, model: CLIPModel, config: Optional[HubnessAttackConfig] = None):
+        self.model = model
+        self.config = config or HubnessAttackConfig()
+        self.stats = AttackStats()
+        self._encode = make_encoder(model)
+        self._run = jax.jit(functools.partial(_hubness_run, self._encode, self.config))
+        self._gallery_img: Optional[Array] = None  # [N, E]
+        self._query_texts: Optional[Array] = None  # [M, E]
+
+    # -- reference database (reference :189-204) ----------------------------
+    def build_reference_database(self, images=None, texts: Optional[Sequence[str]] = None):
+        if images is not None:
+            pixels = prepare_images(self.model, images)
+            self._gallery_img = self.model.encode_image(pixels)
+        if texts is not None:
+            self._query_texts = self.model.encode_text(list(texts))
+
+    # -- attack ------------------------------------------------------------
+    def attack(self, images, texts: Optional[Sequence[str]] = None) -> AttackResult:
+        """Optimize each image toward its own random query subset. ``texts``
+        (or the prebuilt query DB) is the query pool."""
+        t0 = time.time()
+        pixels = jnp.asarray(prepare_images(self.model, images))
+        if texts is not None:
+            pool = self.model.encode_text(list(texts))
+        elif self._query_texts is not None:
+            pool = self._query_texts
+        else:
+            raise ValueError("no query texts: pass texts or build_reference_database")
+        B = pixels.shape[0]
+        M = pool.shape[0]
+        Q = min(self.config.num_target_queries, M)
+        key = jax.random.PRNGKey(self.config.seed)
+        # per-sample random query subsets (reference :283-304)
+        idx = jax.vmap(
+            lambda k: jax.random.choice(k, M, shape=(Q,), replace=False)
+        )(jax.random.split(key, B))
+        queries = pool[idx]  # [B, Q, E]
+        adv, mean_sims = self._run(pixels, queries)
+
+        hub_scores = None
+        if self._gallery_img is not None:
+            adv_feats = self.model.encode_image(np.asarray(adv))
+            hub_scores = np.asarray(
+                hubness_score(adv_feats, queries, self._gallery_img)
+            )
+        success_metric = (
+            hub_scores if hub_scores is not None else np.asarray(mean_sims)
+        )
+        threshold = (
+            self.config.success_threshold if hub_scores is not None else 0.5
+        )
+        result = AttackResult(
+            adv_images=np.asarray(adv),
+            success=np.asarray(success_metric) > threshold,
+            final_similarity=np.asarray(mean_sims),
+            perturbation_linf=np.asarray(
+                jnp.max(jnp.abs(adv - pixels).reshape(B, -1), axis=-1)
+            ),
+            perturbation_l2=np.asarray(
+                jnp.linalg.norm((adv - pixels).reshape(B, -1), axis=-1)
+            ),
+            info={"hubness_scores": hub_scores, "num_queries": Q},
+        )
+        self.stats.update(result, time.time() - t0)
+        return result
+
+    batch_attack = attack
+
+    def compute_hubness(self, adv_images, queries, gallery=None) -> np.ndarray:
+        """(reference :464-498)"""
+        adv_feats = self.model.encode_image(prepare_images(self.model, adv_images))
+        gal = gallery if gallery is not None else self._gallery_img
+        if gal is None:
+            raise ValueError("no gallery: build_reference_database(images=...) first")
+        if queries.ndim == 2:
+            queries = jnp.broadcast_to(
+                queries[None], (adv_feats.shape[0],) + queries.shape
+            )
+        return np.asarray(hubness_score(adv_feats, queries, gal))
+
+    def get_stats(self):
+        return self.stats.get_stats()
+
+
+def _hubness_run(encode, cfg: HubnessAttackConfig, pixels: Array, queries: Array):
+    """queries: [B, Q, E] per-sample target query features."""
+    q = l2_normalize(queries)
+
+    def objective(adv):
+        feats = encode(adv)  # [B, E]
+        sims = jnp.einsum("be,bqe->bq", feats, q)  # [B, Q]
+        return jnp.mean(sims)  # maximize mean sim == minimize reference loss
+
+    grad_fn = jax.grad(objective)
+    project = linf_project if cfg.norm_type == "linf" else l2_project
+
+    def body(_, adv):
+        g = grad_fn(adv)
+        adv = adv + cfg.alpha * jnp.sign(g)
+        return project(adv, pixels, cfg.epsilon)
+
+    adv = jax.lax.fori_loop(0, cfg.num_iterations, body, pixels)
+    final = jnp.einsum("be,bqe->bq", encode(adv), q).mean(axis=-1)
+    return adv, final
+
+
+def hubness_score(adv_feats: Array, queries: Array, gallery: Array) -> Array:
+    """Fraction of queries whose top-1 over gallery ∪ {adv} is adv.
+
+    adv_feats [B, E]; queries [B, Q, E]; gallery [N, E]. One matmul:
+    adv wins a query iff cos(query, adv) > max_n cos(query, gallery_n).
+    """
+    a = l2_normalize(adv_feats)
+    q = l2_normalize(queries)
+    g = l2_normalize(gallery)
+    adv_sim = jnp.einsum("bqe,be->bq", q, a)  # [B, Q]
+    gal_sim = jnp.einsum(
+        "bqe,ne->bqn", q, g, preferred_element_type=jnp.float32
+    ).max(axis=-1)  # [B, Q]
+    return jnp.mean((adv_sim > gal_sim).astype(jnp.float32), axis=-1)
+
+
+# reference export alias (attacks/__init__.py:8)
+HubnessAttacker = HubnessAttack
+
+
+def create_hubness_attacker(
+    model: CLIPModel, config: Optional[HubnessAttackConfig] = None
+) -> HubnessAttack:
+    return HubnessAttack(model, config)
+
+
+class HubnessAttackPresets:
+    """(reference :789+)"""
+
+    @staticmethod
+    def fast() -> HubnessAttackConfig:
+        return HubnessAttackConfig(num_iterations=50, num_target_queries=20)
+
+    @staticmethod
+    def standard() -> HubnessAttackConfig:
+        return HubnessAttackConfig()
+
+    @staticmethod
+    def paper() -> HubnessAttackConfig:
+        """arXiv 2412.14113 standard setting."""
+        return HubnessAttackConfig(
+            epsilon=16 / 255, num_iterations=500, num_target_queries=100
+        )

@@ -1,0 +1,155 @@
+"""PGD attack on CLIP similarity as one jitted fori_loop.
+
+Behavior parity with reference src/attacks/pgd_attack.py (ε=8/255, α=2/255,
+10 steps, random init inside the ε-ball, optional momentum with L1-normalized
+gradient accumulation, sign step, ε-ball + [0,1] projection each step) —
+reimplemented as a pure XLA program: ``lax.fori_loop`` over
+``jax.grad``, batched over the mesh; no DataParallel, no host sync per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from tvc.attacks.common import (
+    AttackResult,
+    AttackStats,
+    linf_project,
+    make_encoder,
+    prepare_images,
+    result_from_device,
+)
+from tvc.models.clip import CLIPModel
+
+
+@dataclasses.dataclass(frozen=True)
+class PGDAttackConfig:
+    """(reference src/attacks/pgd_attack.py:19-58; `num_steps` is the
+    canonical name — run_experiments.py passes `num_iterations`, an API
+    drift we resolve by accepting the canonical name only.)"""
+
+    epsilon: float = 8.0 / 255.0
+    alpha: float = 2.0 / 255.0
+    num_steps: int = 10
+    random_init: bool = True
+    targeted: bool = False
+    use_momentum: bool = False
+    momentum: float = 0.9
+    clip_min: float = 0.0
+    clip_max: float = 1.0
+    seed: int = 0
+
+
+class PGDAttacker:
+    """Stateful wrapper: compiles the attack once per (model, config)."""
+
+    def __init__(self, model: CLIPModel, config: Optional[PGDAttackConfig] = None):
+        self.model = model
+        self.config = config or PGDAttackConfig()
+        self.stats = AttackStats()
+        self._encode = make_encoder(model)
+        self._run = jax.jit(functools.partial(_pgd_run, self._encode, self.config))
+
+    def attack(self, images, texts, target_texts=None) -> AttackResult:
+        """images: PIL list or [B,H,W,3] pixels in [0,1]; texts: list[str]."""
+        t0 = time.time()
+        pixels = jnp.asarray(prepare_images(self.model, images))
+        text_feats = self.model.encode_text(texts)
+        if self.config.targeted:
+            if target_texts is None:
+                raise ValueError("targeted PGD requires target_texts")
+            target_feats = self.model.encode_text(target_texts)
+        else:
+            target_feats = text_feats
+        key = jax.random.PRNGKey(self.config.seed)
+        adv, sims = self._run(pixels, text_feats, target_feats, key)
+        result = result_from_device(adv, pixels, sims, self.config.targeted)
+        self.stats.update(result, time.time() - t0)
+        return result
+
+    # reference exposes batch_attack with identical semantics at batch level
+    batch_attack = attack
+
+    def get_stats(self):
+        return self.stats.get_stats()
+
+
+def _pgd_run(
+    encode,
+    cfg: PGDAttackConfig,
+    pixels: Array,
+    text_feats: Array,
+    target_feats: Array,
+    key: Array,
+):
+    """Pure attack program. Returns (adv_pixels, final cos-sims vs text)."""
+
+    objective_feats = target_feats if cfg.targeted else text_feats
+    # ascend similarity for targeted, descend for untargeted
+    direction = 1.0 if cfg.targeted else -1.0
+
+    def objective(adv):
+        feats = encode(adv)
+        sims = jnp.sum(feats * objective_feats, axis=-1)
+        return direction * jnp.mean(sims)
+
+    grad_fn = jax.grad(objective)
+
+    adv0 = pixels
+    if cfg.random_init and cfg.num_steps > 1:
+        noise = jax.random.uniform(
+            key, pixels.shape, minval=-cfg.epsilon, maxval=cfg.epsilon
+        )
+        adv0 = jnp.clip(pixels + noise, cfg.clip_min, cfg.clip_max)
+
+    def body(_, state):
+        adv, mom = state
+        g = grad_fn(adv)
+        if cfg.use_momentum:
+            l1 = jnp.sum(
+                jnp.abs(g).reshape(g.shape[0], -1), axis=-1
+            ).reshape(-1, 1, 1, 1)
+            mom = cfg.momentum * mom + g / jnp.maximum(l1, 1e-12)
+            step_g = mom
+        else:
+            step_g = g
+        adv = adv + cfg.alpha * jnp.sign(step_g)  # ascend the objective
+        adv = linf_project(adv, pixels, cfg.epsilon)
+        return adv, mom
+
+    adv, _ = jax.lax.fori_loop(
+        0, cfg.num_steps, body, (adv0, jnp.zeros_like(pixels))
+    )
+    final_sims = jnp.sum(encode(adv) * text_feats, axis=-1)
+    return adv, final_sims
+
+
+def create_pgd_attacker(
+    model: CLIPModel, config: Optional[PGDAttackConfig] = None
+) -> PGDAttacker:
+    """(reference factory, src/attacks/pgd_attack.py:640+)"""
+    return PGDAttacker(model, config)
+
+
+class PGDAttackPresets:
+    """(reference preset idiom, e.g. fgsm_attack.py:636)"""
+
+    @staticmethod
+    def weak() -> PGDAttackConfig:
+        return PGDAttackConfig(epsilon=2 / 255, alpha=0.5 / 255, num_steps=5)
+
+    @staticmethod
+    def standard() -> PGDAttackConfig:
+        return PGDAttackConfig()
+
+    @staticmethod
+    def strong() -> PGDAttackConfig:
+        return PGDAttackConfig(epsilon=16 / 255, alpha=2 / 255, num_steps=40, use_momentum=True)

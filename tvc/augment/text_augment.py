@@ -1,0 +1,267 @@
+"""Text-variant generation: the TVC defense's first stage.
+
+Behavior parity with reference src/text_augment.py (SynonymReplacer :139,
+ParaphraseGenerator :269 [Qwen], SyntaxTransformer :320, BackTranslator
+:380, quality filter + dedup :95-117) and experiments/defenses/
+text_variants.py (template strategy, CLIP-similarity ranking :269).
+
+Resolves the reference's API drift: the orchestration layer calls
+``generate_variants`` while TextAugmenter only defines ``augment``
+(SURVEY.md §0) — here ``generate_variants`` is the canonical public name
+and ``augment`` is an alias.
+
+Host-side strategies (synonym/syntax/template) are pure-python and
+deterministic given the config seed; the Qwen paraphrase strategy is
+injected (any callable ``(text, n) -> list[str]``) so the JAX Qwen2 decode
+loop (tvc/models/qwen.py) or a stub can back it. Semantic filtering/ranking
+batches all candidate variants into one CLIP text encode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tvc.attacks.text_attack import BUILTIN_SYNONYMS, STOPWORDS, get_synonyms
+
+
+@dataclasses.dataclass
+class TextAugmentConfig:
+    """(reference src/text_augment.py:40-80)"""
+
+    max_variants: int = 5
+    min_similarity_threshold: float = 0.7
+    max_similarity_threshold: float = 0.95
+    enable_synonym_replacement: bool = True
+    enable_paraphrase_generation: bool = True
+    enable_syntax_transformation: bool = True
+    enable_template: bool = True  # experiments/defenses/text_variants.py:138
+    enable_back_translation: bool = False
+    synonym_replacement_ratio: float = 0.3
+    min_word_length: int = 3
+    enable_quality_filter: bool = True
+    min_text_length: int = 5
+    max_text_length: int = 1000
+    filter_duplicates: bool = True
+    seed: int = 42
+
+
+TEMPLATES = [
+    "a photo of {}",
+    "an image showing {}",
+    "a picture of {}",
+    "{} in the scene",
+    "this image depicts {}",
+]
+
+
+def normalize_text(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip().lower())
+
+
+def is_valid_text(text: str, min_len: int = 5, max_len: int = 1000) -> bool:
+    """(reference src/text_augment.py:118-133)"""
+    if not text or not text.strip():
+        return False
+    n = len(text.strip())
+    if n < min_len or n > max_len:
+        return False
+    return len(re.findall(r"\w+", text)) >= 2
+
+
+class SynonymReplacer:
+    """WordNet/builtin synonym substitution (reference :139-268)."""
+
+    def __init__(self, config: TextAugmentConfig):
+        self.config = config
+        self._rng = np.random.default_rng(config.seed)
+
+    def augment(self, text: str, num_variants: int) -> List[str]:
+        words = text.split()
+        replaceable = [
+            i
+            for i, w in enumerate(words)
+            if len(w) >= self.config.min_word_length
+            and w.lower() not in STOPWORDS
+            and get_synonyms(w.lower(), 1)
+        ]
+        if not replaceable:
+            return []
+        variants = []
+        n_replace = max(1, int(len(replaceable) * self.config.synonym_replacement_ratio))
+        for v in range(num_variants * 2):  # oversample; filter dedups
+            idxs = self._rng.choice(
+                replaceable, size=min(n_replace, len(replaceable)), replace=False
+            )
+            cand = list(words)
+            for i in idxs:
+                syns = get_synonyms(words[i].lower(), 10)
+                if syns:
+                    cand[i] = syns[int(self._rng.integers(len(syns)))]
+            variants.append(" ".join(cand))
+        return variants
+
+
+class SyntaxTransformer:
+    """Regex passive-voice + clause reorder (reference :320-377)."""
+
+    PASSIVE_PATTERNS = [
+        (r"(\w+)\s+(\w+ed)\s+(\w+)$", r"\3 is \2 by \1"),
+        (r"(\w+)\s+makes?\s+(\w+)", r"\2 is made by \1"),
+        (r"(\w+)\s+creates?\s+(\w+)", r"\2 is created by \1"),
+    ]
+
+    def __init__(self, config: TextAugmentConfig):
+        self.config = config
+
+    def augment(self, text: str, num_variants: int) -> List[str]:
+        variants = []
+        for pattern, repl in self.PASSIVE_PATTERNS:
+            if re.search(pattern, text, re.IGNORECASE):
+                out = re.sub(pattern, repl, text, flags=re.IGNORECASE)
+                if out != text:
+                    variants.append(out)
+                break
+        if " and " in text:
+            a, _, b = text.partition(" and ")
+            variants.append(f"{b.strip()} and {a.strip()}")
+        if " but " in text:
+            a, _, b = text.partition(" but ")
+            variants.append(f"Although {a.strip()}, {b.strip()}")
+        return variants[:num_variants]
+
+
+class TemplateAugmenter:
+    """Template wrapping (reference experiments/defenses/text_variants.py:138-156)."""
+
+    def __init__(self, config: TextAugmentConfig):
+        self.config = config
+
+    def augment(self, text: str, num_variants: int) -> List[str]:
+        core = text.strip().rstrip(".")
+        lowered = core[0].lower() + core[1:] if core else core
+        return [t.format(lowered) for t in TEMPLATES[:num_variants]]
+
+
+class ParaphraseGenerator:
+    """LLM paraphrases via an injected generator (reference :269-319 uses
+    QwenModel.generate_paraphrases; tvc/models/qwen.py provides the JAX
+    implementation)."""
+
+    def __init__(
+        self,
+        config: TextAugmentConfig,
+        generator: Optional[Callable[[str, int], List[str]]] = None,
+    ):
+        self.config = config
+        self.generator = generator
+
+    def augment(self, text: str, num_variants: int) -> List[str]:
+        if self.generator is None:
+            return []
+        try:
+            return list(self.generator(text, num_variants))
+        except Exception:
+            return []
+
+
+class TextAugmenter:
+    """Multi-strategy variant generator with quality filter + dedup + optional
+    CLIP-semantic ranking (reference src/text_augment.py:462-580)."""
+
+    def __init__(
+        self,
+        config: Optional[TextAugmentConfig] = None,
+        paraphrase_generator: Optional[Callable[[str, int], List[str]]] = None,
+        clip_model=None,
+    ):
+        self.config = config or TextAugmentConfig()
+        self.clip_model = clip_model  # optional: semantic filter/ranking
+        self.strategies: Dict[str, object] = {}
+        if self.config.enable_synonym_replacement:
+            self.strategies["synonym"] = SynonymReplacer(self.config)
+        if self.config.enable_syntax_transformation:
+            self.strategies["syntax"] = SyntaxTransformer(self.config)
+        if self.config.enable_template:
+            self.strategies["template"] = TemplateAugmenter(self.config)
+        if self.config.enable_paraphrase_generation:
+            self.strategies["paraphrase"] = ParaphraseGenerator(
+                self.config, paraphrase_generator
+            )
+        self.stats = {"calls": 0, "variants_generated": 0, "variants_filtered": 0}
+
+    # canonical public name (SURVEY.md §0 API-drift resolution)
+    def generate_variants(
+        self, text: str, num_variants: Optional[int] = None
+    ) -> List[str]:
+        n = num_variants or self.config.max_variants
+        self.stats["calls"] += 1
+        raw: List[str] = []
+        for strategy in self.strategies.values():
+            raw.extend(strategy.augment(text, n))
+        self.stats["variants_generated"] += len(raw)
+        filtered = self._filter(text, raw)
+        if self.clip_model is not None and filtered:
+            filtered = self._rank_by_semantic_similarity(text, filtered)
+        self.stats["variants_filtered"] += len(raw) - len(filtered)
+        return filtered[:n]
+
+    augment = generate_variants  # reference alias (text_augment.py:491)
+
+    def batch_generate_variants(
+        self, texts: Sequence[str], num_variants: Optional[int] = None
+    ) -> List[List[str]]:
+        return [self.generate_variants(t, num_variants) for t in texts]
+
+    batch_augment = batch_generate_variants
+
+    def _filter(self, original: str, variants: List[str]) -> List[str]:
+        """Quality filter + dedup (reference :95-117, :516-528)."""
+        if not self.config.enable_quality_filter:
+            return variants
+        out, seen = [], {normalize_text(original)}
+        for v in variants:
+            if not is_valid_text(
+                v, self.config.min_text_length, self.config.max_text_length
+            ):
+                continue
+            key = normalize_text(v)
+            if self.config.filter_duplicates and key in seen:
+                continue
+            seen.add(key)
+            out.append(v)
+        return out
+
+    def _rank_by_semantic_similarity(
+        self, original: str, variants: List[str]
+    ) -> List[str]:
+        """One batched CLIP text encode ranks + band-filters all variants
+        (reference experiments/defenses/text_variants.py:206-300: keep
+        variants semantically close to, but not duplicates of, the
+        original)."""
+        feats = np.asarray(self.clip_model.encode_text([original] + variants))
+        sims = feats[1:] @ feats[0]
+        lo, hi = (
+            self.config.min_similarity_threshold,
+            self.config.max_similarity_threshold,
+        )
+        keep = [
+            (float(s), v)
+            for s, v in zip(sims, variants)
+            if lo <= float(s) <= hi
+        ]
+        if not keep:  # fall back to closest-first if the band is empty
+            keep = sorted(zip(map(float, sims), variants), reverse=True)
+        return [v for _, v in sorted(keep, reverse=True)]
+
+    def get_stats(self) -> Dict[str, int]:
+        return dict(self.stats)
+
+
+def create_text_augmenter(
+    config: Optional[TextAugmentConfig] = None, **kw
+) -> TextAugmenter:
+    return TextAugmenter(config, **kw)

@@ -1,0 +1,298 @@
+"""Dataset loaders: COCO / Flickr30k / CC3M / Visual Genome + synthetic.
+
+Covers reference src/utils/data_loader.py (ImageTextDataset :34, per-dataset
+loaders :108-441, DataLoaderManager :442, collate :707) and
+experiments/datasets/ (BaseDatasetLoader ABC family). torch DataLoaders are
+replaced by a host-side numpy batch iterator with prefetch — batches are
+mesh-divisible and feed ``tvc.parallel.shard_batch`` directly.
+
+All loaders parse the standard on-disk formats (COCO captions JSON, Flickr
+results_20130124.token, CC TSV, VG region JSONs). ``SyntheticDataset``
+provides the deterministic fixture the test-suite and benchmarks use
+(reference benchmarks/hubness_attack_benchmark.py:60-83 uses the same
+pattern: generated images + canned captions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+from pathlib import Path
+from queue import Queue
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """(reference src/utils/config.py:41-70)"""
+
+    dataset: str = "synthetic"
+    data_dir: str = "./data"
+    split: str = "val"
+    image_size: int = 224
+    batch_size: int = 256
+    max_samples: Optional[int] = None
+    num_workers: int = 4
+    seed: int = 42
+    drop_remainder: bool = False
+
+
+@dataclasses.dataclass
+class Sample:
+    image_path: Optional[str]
+    caption: str
+    image_id: Any = None
+
+
+class BaseDataset:
+    """Pairs of (image, caption). Images load lazily (PIL) or generate
+    synthetically; ``batches`` yields pixel arrays in [0, 1]."""
+
+    def __init__(self, config: DataConfig):
+        self.config = config
+        self.samples: List[Sample] = []
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load_image(self, sample: Sample) -> np.ndarray:
+        from PIL import Image
+
+        s = self.config.image_size
+        im = Image.open(sample.image_path).convert("RGB").resize((s, s))
+        return np.asarray(im, dtype=np.float32) / 255.0
+
+    def batches(
+        self, batch_size: Optional[int] = None, shuffle: bool = False
+    ) -> Iterator[Dict[str, Any]]:
+        bs = batch_size or self.config.batch_size
+        idx = np.arange(len(self.samples))
+        if shuffle:
+            np.random.default_rng(self.config.seed).shuffle(idx)
+        for i in range(0, len(idx), bs):
+            chunk = idx[i : i + bs]
+            if self.config.drop_remainder and len(chunk) < bs:
+                break
+            images = np.stack([self.load_image(self.samples[j]) for j in chunk])
+            yield {
+                "images": images,
+                "texts": [self.samples[j].caption for j in chunk],
+                "ids": [self.samples[j].image_id for j in chunk],
+            }
+
+    def prefetch_batches(
+        self, batch_size: Optional[int] = None, shuffle: bool = False, depth: int = 2
+    ) -> Iterator[Dict[str, Any]]:
+        """Background-thread prefetch (replaces torch DataLoader workers):
+        image decode overlaps device compute."""
+        q: Queue = Queue(maxsize=depth)
+        stop = object()
+
+        def producer():
+            try:
+                for batch in self.batches(batch_size, shuffle):
+                    q.put(batch)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class SyntheticDataset(BaseDataset):
+    """Deterministic synthetic image-text pairs (test/bench fixture)."""
+
+    CAPTION_PARTS = (
+        ("a big", "a small", "an old", "a young", "a red", "a blue"),
+        ("dog", "cat", "car", "man", "woman", "house", "bird", "tree"),
+        ("on the street", "in the park", "near the river", "at the beach",
+         "on a table", "under the sky"),
+    )
+
+    def __init__(self, config: DataConfig, n: int = 256):
+        super().__init__(config)
+        rng = np.random.default_rng(config.seed)
+        n = config.max_samples or n
+        self._rng_states = rng.integers(0, 2**31, size=n)
+        for i in range(n):
+            r = np.random.default_rng(int(self._rng_states[i]))
+            caption = " ".join(
+                parts[int(r.integers(len(parts)))] for parts in self.CAPTION_PARTS
+            )
+            self.samples.append(Sample(image_path=None, caption=caption, image_id=i))
+
+    def load_image(self, sample: Sample) -> np.ndarray:
+        s = self.config.image_size
+        r = np.random.default_rng(int(self._rng_states[sample.image_id]))
+        # structured random image: colored gradient + noise (not pure noise,
+        # so attacks/detectors see non-degenerate stats)
+        base = r.random(3)
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        img = np.stack(
+            [base[c] * (0.5 + 0.5 * np.sin(3 * (yy * (c + 1) + xx))) for c in range(3)],
+            axis=-1,
+        )
+        img = img + 0.1 * r.random((s, s, 3))
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+class COCODataset(BaseDataset):
+    """COCO captions (reference src/utils/data_loader.py:108-194).
+
+    Expects ``{data_dir}/coco/annotations/captions_{split}2017.json`` and
+    images under ``{data_dir}/coco/{split}2017/``.
+    """
+
+    def __init__(self, config: DataConfig):
+        super().__init__(config)
+        root = Path(config.data_dir) / "coco"
+        ann_path = root / "annotations" / f"captions_{config.split}2017.json"
+        with open(ann_path) as f:
+            ann = json.load(f)
+        id_to_file = {im["id"]: im["file_name"] for im in ann["images"]}
+        img_dir = root / f"{config.split}2017"
+        seen_images = set()
+        for a in ann["annotations"]:
+            img_id = a["image_id"]
+            if config.max_samples and len(self.samples) >= config.max_samples:
+                break
+            if img_id in seen_images:
+                continue  # one caption per image (reference behavior)
+            seen_images.add(img_id)
+            self.samples.append(
+                Sample(
+                    image_path=str(img_dir / id_to_file[img_id]),
+                    caption=a["caption"].strip(),
+                    image_id=img_id,
+                )
+            )
+
+
+class Flickr30kDataset(BaseDataset):
+    """Flickr30k (reference :195-257). Expects
+    ``{data_dir}/flickr30k/results_20130124.token`` and images under
+    ``{data_dir}/flickr30k/images/``."""
+
+    def __init__(self, config: DataConfig):
+        super().__init__(config)
+        root = Path(config.data_dir) / "flickr30k"
+        token = root / "results_20130124.token"
+        seen = set()
+        with open(token, encoding="utf-8") as f:
+            for line in f:
+                if config.max_samples and len(self.samples) >= config.max_samples:
+                    break
+                try:
+                    key, caption = line.rstrip("\n").split("\t", 1)
+                    fname, _ = key.split("#")
+                except ValueError:
+                    continue
+                if fname in seen:
+                    continue
+                seen.add(fname)
+                self.samples.append(
+                    Sample(
+                        image_path=str(root / "images" / fname),
+                        caption=caption.strip(),
+                        image_id=fname,
+                    )
+                )
+
+
+class CC3MDataset(BaseDataset):
+    """Conceptual Captions TSV: ``caption\\turl_or_path`` (reference :258-342)."""
+
+    def __init__(self, config: DataConfig):
+        super().__init__(config)
+        root = Path(config.data_dir) / "cc3m"
+        tsv = root / f"{config.split}.tsv"
+        with open(tsv, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                if config.max_samples and len(self.samples) >= config.max_samples:
+                    break
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 2:
+                    continue
+                caption, path = parts[0], parts[1]
+                local = root / "images" / Path(path).name
+                self.samples.append(
+                    Sample(image_path=str(local), caption=caption.strip(), image_id=i)
+                )
+
+
+class VisualGenomeDataset(BaseDataset):
+    """VG region descriptions (reference :343-441). Expects
+    ``{data_dir}/visual_genome/region_descriptions.json`` + ``images/``."""
+
+    def __init__(self, config: DataConfig):
+        super().__init__(config)
+        root = Path(config.data_dir) / "visual_genome"
+        with open(root / "region_descriptions.json") as f:
+            regions = json.load(f)
+        for entry in regions:
+            if config.max_samples and len(self.samples) >= config.max_samples:
+                break
+            img_id = entry.get("id") or entry.get("image_id")
+            descs = entry.get("regions", [])
+            if not descs:
+                continue
+            caption = descs[0].get("phrase", "").strip()
+            if not caption:
+                continue
+            self.samples.append(
+                Sample(
+                    image_path=str(root / "images" / f"{img_id}.jpg"),
+                    caption=caption,
+                    image_id=img_id,
+                )
+            )
+
+
+DATASETS = {
+    "synthetic": SyntheticDataset,
+    "coco": COCODataset,
+    "flickr30k": Flickr30kDataset,
+    "cc3m": CC3MDataset,
+    "visual_genome": VisualGenomeDataset,
+}
+
+
+class DataLoaderManager:
+    """(reference src/utils/data_loader.py:442-706)"""
+
+    def __init__(self, config: Optional[DataConfig] = None):
+        self.config = config or DataConfig()
+
+    def load_dataset(self, name: Optional[str] = None, **overrides) -> BaseDataset:
+        name = name or self.config.dataset
+        if name not in DATASETS:
+            raise ValueError(f"unknown dataset {name!r}; available: {sorted(DATASETS)}")
+        cfg = dataclasses.replace(self.config, dataset=name, **overrides)
+        return DATASETS[name](cfg)
+
+    def create_dataloader(
+        self, dataset: BaseDataset, batch_size: Optional[int] = None, shuffle: bool = False
+    ) -> Iterator[Dict[str, Any]]:
+        return dataset.prefetch_batches(batch_size, shuffle)
+
+
+def loader_to_list(
+    dataset: BaseDataset, max_samples: Optional[int] = None
+) -> List[Tuple[np.ndarray, str, bool]]:
+    """Materialize (image, text, is_adversarial=False) tuples
+    (reference experiments/run_experiments.py:324)."""
+    out = []
+    for batch in dataset.batches(batch_size=64):
+        for img, txt in zip(batch["images"], batch["texts"]):
+            out.append((img, txt, False))
+            if max_samples and len(out) >= max_samples:
+                return out
+    return out

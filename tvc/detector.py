@@ -1,0 +1,327 @@
+"""Adversarial detector: the user-facing TVC detection API.
+
+Covers reference src/detector.py (AdversarialDetector :217, DetectorConfig
+:172, ThresholdManager :53, AdaptiveThresholdManager :95, EnsembleDetector
+:131, compute_optimal_threshold :736) and the alt stack's
+MultiModalDefenseDetector + ConsistencyChecker
+(experiments/defenses/detector.py:46, consistency_checker.py:31).
+
+Batch-first: ``detect_batch`` embeds everything with at most three encoder
+calls (query images, all variant texts flattened, references come
+pre-embedded from the banks) and scores the whole batch in one fused Pallas
+kernel (tvc/core/pallas). ``detect_adversarial`` is the single-query
+reference-parity wrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tvc.core import consistency as C
+from tvc.core.pallas import fused_consistency_scores
+from tvc.metrics import DetectionEvaluator
+from tvc.models.clip import CLIPModel
+
+
+@dataclasses.dataclass
+class DetectorConfig:
+    """(reference src/detector.py:172-216)"""
+
+    detection_threshold: float = C.DEFAULT_THRESHOLD
+    score_aggregation: str = "weighted_mean"  # mean | max | min | weighted_mean
+    weights: Tuple[float, float, float] = (0.4, 0.4, 0.2)  # tv, sd, consistency
+    num_text_variants: int = 5
+    num_reference_images: int = 3
+    methods: Tuple[str, ...] = ("text_variants", "sd_reference", "consistency")
+    use_pallas: bool = True
+    cache_enabled: bool = True
+    cache_size: int = 1000
+
+
+@dataclasses.dataclass
+class DetectionResult:
+    """Batched detection output."""
+
+    is_adversarial: np.ndarray  # [B] bool
+    aggregated_score: np.ndarray  # [B]
+    method_scores: Dict[str, np.ndarray]  # each [B]
+    details: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+class ThresholdManager:
+    """Fixed threshold with history (reference src/detector.py:53-93)."""
+
+    def __init__(self, threshold: float = 0.5):
+        self.threshold = threshold
+        self.history: List[float] = []
+
+    def get_threshold(self) -> float:
+        return self.threshold
+
+    def update(self, threshold: float) -> None:
+        self.history.append(self.threshold)
+        self.threshold = threshold
+
+
+class AdaptiveThresholdManager(ThresholdManager):
+    """EMA-adaptive threshold from recent clean-score statistics
+    (reference src/detector.py:95-130)."""
+
+    def __init__(self, threshold: float = 0.5, momentum: float = 0.9, margin: float = 2.0):
+        super().__init__(threshold)
+        self.momentum = momentum
+        self.margin = margin
+        self._mean = None
+        self._var = None
+
+    def observe_clean_scores(self, scores: np.ndarray) -> None:
+        m, v = float(np.mean(scores)), float(np.var(scores))
+        if self._mean is None:
+            self._mean, self._var = m, v
+        else:
+            self._mean = self.momentum * self._mean + (1 - self.momentum) * m
+            self._var = self.momentum * self._var + (1 - self.momentum) * v
+        self.update(self._mean + self.margin * np.sqrt(max(self._var, 1e-12)))
+
+
+class AdversarialDetector:
+    """Primary-stack detector (batched)."""
+
+    def __init__(
+        self,
+        model: CLIPModel,
+        config: Optional[DetectorConfig] = None,
+        text_augmenter=None,
+        reference_generator=None,
+    ):
+        """reference_generator: callable ``(texts: list[str], n: int) ->
+        [B, n, D] embeddings`` (retrieval bank top-k or SD synthesis)."""
+        self.model = model
+        self.config = config or DetectorConfig()
+        self.text_augmenter = text_augmenter
+        self.reference_generator = reference_generator
+        self.threshold_manager = ThresholdManager(self.config.detection_threshold)
+        self._cache: Dict[str, Any] = {}
+        self.stats = {"detections": 0, "adversarial_detected": 0, "cache_hits": 0}
+
+    # -- embedding assembly --------------------------------------------------
+    def _embed_variants(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """All queries' variants in ONE batched text encode.
+
+        Returns ([B, V, D] embeddings, [B, V] mask), V = num_text_variants.
+        """
+        V = self.config.num_text_variants
+        B = len(texts)
+        D = self.model.config.embed_dim
+        if self.text_augmenter is None:
+            return np.zeros((B, V, D), np.float32), np.zeros((B, V), bool)
+        variant_lists = [
+            self.text_augmenter.generate_variants(t, V) for t in texts
+        ]
+        flat = [v for vl in variant_lists for v in vl]
+        emb = np.zeros((B, V, D), np.float32)
+        mask = np.zeros((B, V), bool)
+        if flat:
+            flat_emb = np.asarray(self.model.encode_text(flat))
+            pos = 0
+            for b, vl in enumerate(variant_lists):
+                n = len(vl)
+                emb[b, :n] = flat_emb[pos : pos + n]
+                mask[b, :n] = True
+                pos += n
+        return emb, mask
+
+    def _embed_references(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        R = self.config.num_reference_images
+        B = len(texts)
+        D = self.model.config.embed_dim
+        if self.reference_generator is None:
+            return np.zeros((B, R, D), np.float32), np.zeros((B, R), bool)
+        refs = np.asarray(self.reference_generator(list(texts), R))
+        mask = np.any(refs != 0, axis=-1)
+        return refs.astype(np.float32), mask
+
+    # -- detection ------------------------------------------------------------
+    def detect_batch(self, images, texts: Sequence[str]) -> DetectionResult:
+        """images: PIL list or [B,H,W,3] raw pixels; texts: list[str]."""
+        cfg = self.config
+        img_emb = np.asarray(self.model.encode_image(images))
+        txt_emb = np.asarray(self.model.encode_text(list(texts)))
+        B, D = img_emb.shape
+
+        use_tv = "text_variants" in cfg.methods
+        use_sd = "sd_reference" in cfg.methods
+        var_emb, var_mask = (
+            self._embed_variants(texts)
+            if use_tv
+            else (np.zeros((B, 1, D), np.float32), np.zeros((B, 1), bool))
+        )
+        ref_emb, ref_mask = (
+            self._embed_references(texts)
+            if use_sd
+            else (np.zeros((B, 1, D), np.float32), np.zeros((B, 1), bool))
+        )
+
+        threshold = self.threshold_manager.get_threshold()
+        out = fused_consistency_scores(
+            img_emb,
+            txt_emb,
+            var_emb,
+            ref_emb,
+            variant_mask=var_mask,
+            ref_mask=ref_mask,
+            weights=cfg.weights,
+            threshold=threshold,
+        )
+        # aggregation method override (kernel computes weighted_mean; other
+        # aggregations recombine per-method scores on host — cheap, [B, 3])
+        method_scores = {
+            "text_variants": np.asarray(out["tv_score"]),
+            "sd_reference": np.asarray(out["sd_score"]),
+            "consistency": np.asarray(out["consistency_score"]),
+        }
+        if cfg.score_aggregation == "weighted_mean":
+            agg = np.asarray(out["aggregated"])
+            flags = np.asarray(out["is_adversarial"])
+        else:
+            import jax.numpy as jnp
+
+            stacked = jnp.stack(
+                [
+                    out["tv_score"],
+                    out["sd_score"],
+                    out["consistency_score"],
+                ],
+                axis=-1,
+            )
+            present = jnp.stack(
+                [
+                    jnp.asarray(var_mask).any(axis=-1),
+                    jnp.asarray(ref_mask).any(axis=-1),
+                    jnp.ones(B, dtype=bool),
+                ],
+                axis=-1,
+            )
+            agg = np.asarray(
+                C.aggregate_scores(stacked, present, method=cfg.score_aggregation)
+            )
+            flags = agg > threshold
+
+        self.stats["detections"] += B
+        self.stats["adversarial_detected"] += int(flags.sum())
+        return DetectionResult(
+            is_adversarial=flags,
+            aggregated_score=agg,
+            method_scores=method_scores,
+            details={
+                "orig_similarity": np.asarray(out["orig_similarity"]),
+                "variant_mean": np.asarray(out["variant_mean"]),
+                "variant_std": np.asarray(out["variant_std"]),
+                "threshold": threshold,
+            },
+        )
+
+    def detect_adversarial(
+        self, image, text: str, methods: Optional[Sequence[str]] = None
+    ) -> Dict[str, Any]:
+        """Single-query wrapper (reference src/detector.py:345-440 shape)."""
+        if methods is not None:
+            cfg = dataclasses.replace(self.config, methods=tuple(methods))
+            saved, self.config = self.config, cfg
+        try:
+            res = self.detect_batch(
+                image if isinstance(image, (list, tuple)) else [image], [text]
+            )
+        finally:
+            if methods is not None:
+                self.config = saved
+        return {
+            "is_adversarial": bool(res.is_adversarial[0]),
+            "aggregated_score": float(res.aggregated_score[0]),
+            "scores": {k: float(v[0]) for k, v in res.method_scores.items()},
+            "threshold": res.details["threshold"],
+            "details": {
+                k: (float(v[0]) if hasattr(v, "__len__") else v)
+                for k, v in res.details.items()
+            },
+        }
+
+    # -- threshold calibration -------------------------------------------------
+    def compute_optimal_threshold(
+        self, clean_scores: np.ndarray, adv_scores: np.ndarray
+    ) -> float:
+        """ROC Youden-J over known clean/adv scores (reference :736-790)."""
+        labels = np.concatenate(
+            [np.zeros(len(clean_scores)), np.ones(len(adv_scores))]
+        )
+        scores = np.concatenate([clean_scores, adv_scores])
+        thr = DetectionEvaluator.optimal_threshold_youden(labels, scores)
+        self.threshold_manager.update(thr)
+        return thr
+
+    # -- persistence (config+stats JSON, reference :844-889) --------------------
+    def save_model(self, path: str) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        data = {
+            "config": {
+                **dataclasses.asdict(self.config),
+                "weights": list(self.config.weights),
+                "methods": list(self.config.methods),
+            },
+            "threshold": self.threshold_manager.get_threshold(),
+            "stats": self.stats,
+        }
+        Path(path).write_text(json.dumps(data))
+
+    def load_model(self, path: str) -> None:
+        data = json.loads(Path(path).read_text())
+        cfg = data["config"]
+        cfg["weights"] = tuple(cfg["weights"])
+        cfg["methods"] = tuple(cfg["methods"])
+        self.config = DetectorConfig(**cfg)
+        self.threshold_manager = ThresholdManager(data["threshold"])
+        self.stats = data["stats"]
+
+    def get_stats(self) -> Dict[str, Any]:
+        return dict(self.stats)
+
+
+class EnsembleDetector:
+    """Majority/mean vote over multiple detectors (reference src/detector.py:131-170)."""
+
+    def __init__(self, detectors: Sequence[AdversarialDetector], strategy: str = "mean"):
+        if not detectors:
+            raise ValueError("need at least one detector")
+        self.detectors = list(detectors)
+        self.strategy = strategy
+
+    def detect_batch(self, images, texts) -> DetectionResult:
+        results = [d.detect_batch(images, texts) for d in self.detectors]
+        scores = np.stack([r.aggregated_score for r in results])
+        if self.strategy == "mean":
+            agg = scores.mean(axis=0)
+            thr = float(np.mean([d.threshold_manager.get_threshold() for d in self.detectors]))
+            flags = agg > thr
+        else:  # majority
+            votes = np.stack([r.is_adversarial for r in results])
+            flags = votes.mean(axis=0) > 0.5
+            agg = scores.mean(axis=0)
+        return DetectionResult(
+            is_adversarial=flags,
+            aggregated_score=agg,
+            method_scores={},
+            details={"n_detectors": len(self.detectors)},
+        )
+
+
+def create_detector(model: CLIPModel, config: Optional[DetectorConfig] = None, **kw) -> AdversarialDetector:
+    return AdversarialDetector(model, config, **kw)

@@ -1,0 +1,197 @@
+"""Four-scenarios experiment protocol: (±attack) × (±defense).
+
+Behavior parity with reference experiments/run_experiments.py:1073-1700:
+  scenario 1: attack, no defense   -> attack success rate (retrieval broken)
+  scenario 2: no attack, no defense -> clean retrieval accuracy
+  scenario 3: no attack, defense    -> false-positive rate + overhead
+  scenario 4: attack, defense       -> detection rate + defense success
+
+Attack success here means: the adversarial image no longer retrieves (or is
+no longer consistent with) its paired text — measured, as in the reference,
+by whether cos(adv image, text) drops below the untargeted threshold, plus
+retrieval-rank degradation when a bank is available.
+
+Outputs a JSON-serializable dict matching the reference's result schema
+(results/comprehensive_defense_evaluation/four_scenarios_*.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tvc.attacks import (
+    FGSMAttacker,
+    HubnessAttack,
+    HubnessAttackConfig,
+    PGDAttackConfig,
+    PGDAttacker,
+    UNTARGETED_SUCCESS_SIM,
+)
+from tvc.metrics import DetectionEvaluator
+from tvc.models.clip import CLIPModel
+from tvc.pipeline import MultiModalDetectionPipeline
+
+
+@dataclasses.dataclass
+class FourScenariosConfig:
+    attacks: Sequence[str] = ("pgd", "hubness")
+    num_samples: int = 50
+    pgd: PGDAttackConfig = dataclasses.field(default_factory=PGDAttackConfig)
+    hubness: HubnessAttackConfig = dataclasses.field(
+        default_factory=lambda: HubnessAttackConfig(num_iterations=100)
+    )
+    output_dir: str = "./results/four_scenarios"
+    save_results: bool = True
+
+
+class FourScenariosExperiment:
+    def __init__(
+        self,
+        model: CLIPModel,
+        pipeline: MultiModalDetectionPipeline,
+        config: Optional[FourScenariosConfig] = None,
+    ):
+        self.model = model
+        self.pipeline = pipeline
+        self.config = config or FourScenariosConfig()
+
+    # -- attack generation ----------------------------------------------------
+    def _make_attacker(self, name: str):
+        if name == "pgd":
+            return PGDAttacker(self.model, self.config.pgd)
+        if name == "hubness":
+            return HubnessAttack(self.model, self.config.hubness)
+        if name == "fgsm":
+            return FGSMAttacker(self.model)
+        raise ValueError(f"unknown attack {name!r}")
+
+    def generate_adversarial(
+        self, images: np.ndarray, texts: Sequence[str], attack: str
+    ) -> np.ndarray:
+        attacker = self._make_attacker(attack)
+        if attack == "hubness":
+            result = attacker.attack(images, texts=list(texts))
+        else:
+            result = attacker.attack(images, list(texts))
+        return result.adv_images
+
+    # -- scenarios --------------------------------------------------------------
+    def _retrieval_accuracy(self, images: np.ndarray, texts: Sequence[str]) -> float:
+        """Fraction of queries whose paired text is the best match among the
+        batch (batch-level retrieval proxy, reference scenario 2 :1219-1320)."""
+        ifeat = np.asarray(self.model.encode_image(images))
+        tfeat = np.asarray(self.model.encode_text(list(texts)))
+        sims = ifeat @ tfeat.T  # [B, B]
+        return float(np.mean(np.argmax(sims, axis=1) == np.arange(len(texts))))
+
+    def scenario_1_attack_no_defense(
+        self, images, texts, adv_images: Dict[str, np.ndarray]
+    ) -> Dict[str, Any]:
+        out = {}
+        tfeat = np.asarray(self.model.encode_text(list(texts)))
+        for name, adv in adv_images.items():
+            afeat = np.asarray(self.model.encode_image(adv))
+            sims = np.sum(afeat * tfeat, axis=-1)
+            attack_success = float(np.mean(sims < UNTARGETED_SUCCESS_SIM))
+            rank_acc = self._retrieval_accuracy(adv, texts)
+            out[name] = {
+                "attack_success_rate": attack_success,
+                "mean_similarity": float(sims.mean()),
+                "retrieval_accuracy_under_attack": rank_acc,
+            }
+        return out
+
+    def scenario_2_clean_no_defense(self, images, texts) -> Dict[str, Any]:
+        t0 = time.time()
+        acc = self._retrieval_accuracy(images, texts)
+        return {
+            "retrieval_accuracy": acc,
+            "baseline_time": time.time() - t0,
+        }
+
+    def scenario_3_clean_with_defense(self, images, texts, baseline_time: float) -> Dict[str, Any]:
+        t0 = time.time()
+        res = self.pipeline.process_batch(images, list(texts))
+        defense_time = time.time() - t0
+        fpr = float(res.is_adversarial.mean())
+        return {
+            "false_positive_rate": fpr,
+            "defense_time": defense_time,
+            "defense_overhead": (defense_time - baseline_time) / max(defense_time, 1e-9),
+            "mean_clean_score": float(res.scores.mean()),
+        }
+
+    def scenario_4_attack_with_defense(
+        self, images, texts, adv_images: Dict[str, np.ndarray]
+    ) -> Dict[str, Any]:
+        out = {}
+        clean_scores = self.pipeline.process_batch(images, list(texts)).scores
+        for name, adv in adv_images.items():
+            res = self.pipeline.process_batch(adv, list(texts))
+            detection_rate = float(res.is_adversarial.mean())
+            labels = np.concatenate([np.zeros(len(texts)), np.ones(len(texts))])
+            scores = np.concatenate([clean_scores, res.scores])
+            auroc = DetectionEvaluator.auroc(labels, scores)
+            out[name] = {
+                "detection_rate": detection_rate,
+                # defense success = attacks caught (reference defines defense
+                # success as 1 - post-defense ASR; detected == neutralized)
+                "defense_success_rate": detection_rate,
+                "auroc": float(auroc),
+                "mean_adv_score": float(res.scores.mean()),
+            }
+        return out
+
+    # -- driver -------------------------------------------------------------------
+    def run(self, images: np.ndarray, texts: Sequence[str]) -> Dict[str, Any]:
+        n = min(self.config.num_samples, len(texts))
+        images, texts = images[:n], list(texts[:n])
+        t_start = time.time()
+
+        adv_images = {
+            a: self.generate_adversarial(images, texts, a)
+            for a in self.config.attacks
+        }
+        s1 = self.scenario_1_attack_no_defense(images, texts, adv_images)
+        s2 = self.scenario_2_clean_no_defense(images, texts)
+        s3 = self.scenario_3_clean_with_defense(images, texts, s2["baseline_time"])
+        s4 = self.scenario_4_attack_with_defense(images, texts, adv_images)
+
+        results = {
+            "experiment": "four_scenarios",
+            "timestamp": time.time(),
+            "num_samples": n,
+            "attacks": list(self.config.attacks),
+            "scenario_1_no_defense_with_attack": s1,
+            "scenario_2_no_defense_no_attack": s2,
+            "scenario_3_defense_no_attack": s3,
+            "scenario_4_defense_with_attack": s4,
+            "total_time": time.time() - t_start,
+            "summary": self._summary(s1, s2, s3, s4),
+        }
+        if self.config.save_results:
+            out_dir = Path(self.config.output_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            path = out_dir / f"four_scenarios_{int(time.time())}.json"
+            path.write_text(json.dumps(results, indent=2, default=float))
+            results["output_path"] = str(path)
+        return results
+
+    @staticmethod
+    def _summary(s1, s2, s3, s4) -> Dict[str, Any]:
+        return {
+            "clean_retrieval_accuracy": s2["retrieval_accuracy"],
+            "false_positive_rate": s3["false_positive_rate"],
+            "defense_overhead": s3["defense_overhead"],
+            "attack_success_no_defense": {
+                k: v["attack_success_rate"] for k, v in s1.items()
+            },
+            "detection_rate": {k: v["detection_rate"] for k, v in s4.items()},
+            "auroc": {k: v["auroc"] for k, v in s4.items()},
+        }

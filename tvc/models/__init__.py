@@ -1,0 +1,10 @@
+from tvc.models.clip import (  # noqa: F401
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    CLIPConfig,
+    CLIPModel,
+    CLIPModule,
+    normalize_pixels,
+    preprocess_images,
+)
+from tvc.models.tokenizer import BPETokenizer, HashTokenizer, get_tokenizer  # noqa: F401

@@ -1,0 +1,427 @@
+"""CLIP dual encoder in Flax — the first-class model package the reference
+imports but never shipped (SURVEY.md §2.2; call-site API reconstructed from
+reference src/retrieval.py:356-454, src/detector.py:266-269,461-463,
+src/attacks/pgd_attack.py:173,254, src/attacks/hubness_attack.py:199,586).
+
+TPU-first design:
+  * pre-LN ViT + text transformer as plain Flax modules; everything jits
+    into single XLA programs, matmuls in bf16 on the MXU with f32
+    layernorms/softmax;
+  * the "differentiable path" the reference exposes as a separate
+    ``encode_image_tensor(requires_grad=True)`` method is just the same
+    pure function here — attacks take ``jax.grad`` of it directly;
+  * batch-sharded inference under the mesh replaces DataParallel.
+
+Weight loading from HF/OpenAI checkpoints is gated (zero-egress default:
+random init with a fixed threefry key — deterministic and sufficient for
+architecture/pipeline correctness work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import Array
+
+from tvc.core.similarity import cosine_similarity, l2_normalize
+
+# CLIP-native preprocessing constants (OpenAI CLIP; the reference itself is
+# inconsistent, using ImageNet stats in attacks (pgd_attack.py:95-100) — we
+# standardize on CLIP-native and document the deviation, SURVEY.md §7).
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """Architecture + runtime config.
+
+    Defaults are ViT-B/32 (the reference default model,
+    configs/default.yaml models.clip.default_model "ViT-B/32").
+    """
+
+    # vision tower
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    # text tower
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    # joint
+    embed_dim: int = 512
+    # runtime
+    dtype: Any = jnp.bfloat16  # activation/matmul dtype on the MXU
+    model_name: str = "ViT-B/32"
+
+    @classmethod
+    def tiny(cls) -> "CLIPConfig":
+        """Tiny config for tests (runs in ms on CPU)."""
+        return cls(
+            image_size=32,
+            patch_size=16,
+            vision_width=64,
+            vision_layers=2,
+            vision_heads=2,
+            vocab_size=512,
+            context_length=16,
+            text_width=64,
+            text_layers=2,
+            text_heads=2,
+            embed_dim=32,
+            dtype=jnp.float32,
+            model_name="tiny",
+        )
+
+
+def quick_gelu(x: Array) -> Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MLP(nn.Module):
+    width: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="fc")(x)
+        h = quick_gelu(h)
+        return nn.Dense(self.width, dtype=self.dtype, name="proj")(h)
+
+
+class Attention(nn.Module):
+    width: int
+    heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        B, T, _ = x.shape
+        head_dim = self.width // self.heads
+        qkv = nn.Dense(self.width * 3, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(B, T, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        scale = 1.0 / np.sqrt(head_dim)
+        # f32 softmax for stability regardless of activation dtype
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = logits + mask
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.width)
+        return nn.Dense(self.width, dtype=self.dtype, name="out")(out)
+
+
+class ResidualBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        # pre-LN; layernorm in f32
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        x = x + Attention(self.width, self.heads, self.dtype, name="attn")(h, mask)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        x = x + MLP(self.width, self.dtype, name="mlp")(h)
+        return x
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        for i in range(self.layers):
+            x = ResidualBlock(self.width, self.heads, self.dtype, name=f"block_{i}")(
+                x, mask
+            )
+        return x
+
+
+class VisionTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images: Array) -> Array:
+        """images: [B, H, W, 3] (NHWC, TPU-native layout) -> [B, embed_dim]."""
+        c = self.cfg
+        x = images.astype(c.dtype)
+        # patchify: conv with stride=patch (one big MXU matmul after im2col)
+        x = nn.Conv(
+            c.vision_width,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            dtype=c.dtype,
+            name="patch_embed",
+        )(x)
+        B = x.shape[0]
+        x = x.reshape(B, -1, c.vision_width)  # [B, P, W]
+        cls = self.param(
+            "class_embedding",
+            nn.initializers.normal(stddev=c.vision_width**-0.5),
+            (c.vision_width,),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(c.dtype), (B, 1, c.vision_width)), x], axis=1
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=c.vision_width**-0.5),
+            (x.shape[1], c.vision_width),
+        )
+        x = x + pos.astype(c.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(c.dtype)
+        x = Transformer(
+            c.vision_width, c.vision_layers, c.vision_heads, c.dtype, name="transformer"
+        )(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0, :])
+        proj = self.param(
+            "proj",
+            nn.initializers.normal(stddev=c.vision_width**-0.5),
+            (c.vision_width, c.embed_dim),
+        )
+        return jnp.dot(
+            x.astype(jnp.float32), proj.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+
+class TextTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        """tokens: [B, T] int32 -> [B, embed_dim]. Feature at EOT (= argmax
+        token id, CLIP convention)."""
+        c = self.cfg
+        emb = nn.Embed(
+            c.vocab_size, c.text_width, dtype=c.dtype, name="token_embedding"
+        )(tokens)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=0.01),
+            (c.context_length, c.text_width),
+        )
+        x = emb + pos[None, : tokens.shape[1]].astype(c.dtype)
+        T = tokens.shape[1]
+        causal = jnp.where(
+            jnp.tril(jnp.ones((T, T), dtype=bool)), 0.0, -jnp.inf
+        )[None, None]
+        x = Transformer(
+            c.text_width, c.text_layers, c.text_heads, c.dtype, name="transformer"
+        )(x, causal)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        eot = jnp.argmax(tokens, axis=-1)
+        x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(stddev=c.text_width**-0.5),
+            (c.text_width, c.embed_dim),
+        )
+        return jnp.dot(
+            x.astype(jnp.float32), proj.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+
+class CLIPModule(nn.Module):
+    """Joint module: owns both towers + logit scale."""
+
+    cfg: CLIPConfig
+
+    def setup(self):
+        self.visual = VisionTower(self.cfg)
+        self.text = TextTower(self.cfg)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1 / 0.07)), ()
+        )
+
+    def encode_image(self, images: Array) -> Array:
+        return self.visual(images)
+
+    def encode_text(self, tokens: Array) -> Array:
+        return self.text(tokens)
+
+    def __call__(self, images: Array, tokens: Array) -> Tuple[Array, Array, Array]:
+        img = l2_normalize(self.encode_image(images))
+        txt = l2_normalize(self.encode_text(tokens))
+        logits = jnp.exp(self.logit_scale) * img @ txt.T
+        return img, txt, logits
+
+
+# ---------------------------------------------------------------------------
+# host-side preprocessing
+# ---------------------------------------------------------------------------
+
+
+def preprocess_images(
+    images: Sequence, image_size: int = 224, normalize: bool = True
+) -> np.ndarray:
+    """PIL images / uint8 arrays -> [B, H, W, 3] float32 in CLIP stats.
+
+    (Implied reference API ``CLIPModel.preprocess``,
+    hubness_attack.py:523,717.)
+    """
+    out = []
+    for im in images:
+        if hasattr(im, "convert"):  # PIL (ndarray also has .resize)
+            im = im.convert("RGB").resize((image_size, image_size))
+            arr = np.asarray(im, dtype=np.float32) / 255.0
+        else:
+            arr = np.asarray(im, dtype=np.float32)
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+            if arr.shape[:2] != (image_size, image_size):
+                try:
+                    from PIL import Image as PILImage
+
+                    pil = PILImage.fromarray((arr * 255).astype(np.uint8))
+                    arr = (
+                        np.asarray(
+                            pil.resize((image_size, image_size)), dtype=np.float32
+                        )
+                        / 255.0
+                    )
+                except ImportError:  # pragma: no cover
+                    raise ValueError(f"cannot resize array of shape {arr.shape}")
+        out.append(arr)
+    batch = np.stack(out)
+    if normalize:
+        batch = (batch - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+    return batch.astype(np.float32)
+
+
+def normalize_pixels(pixels: Array) -> Array:
+    """[0,1] pixels -> CLIP-normalized (jit-safe; attacks perturb in pixel
+    space and re-normalize inside the gradient loop)."""
+    mean = jnp.asarray(CLIP_IMAGE_MEAN)
+    std = jnp.asarray(CLIP_IMAGE_STD)
+    return (pixels - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# user-facing wrapper (the reference's implied CLIPModel API)
+# ---------------------------------------------------------------------------
+
+
+class CLIPModel:
+    """Stateful convenience wrapper: params + jitted encode fns.
+
+    API parity with the implied reference wrapper (SURVEY.md §2.2):
+    ``encode_image``, ``encode_text``, ``encode_image_tensor``,
+    ``get_text_image_similarity``, ``preprocess``, ``tokenize``.
+    """
+
+    def __init__(
+        self,
+        config: Optional[CLIPConfig] = None,
+        params: Optional[Dict] = None,
+        seed: int = 0,
+        tokenizer: Optional[Callable] = None,
+    ):
+        self.config = config or CLIPConfig()
+        self.module = CLIPModule(self.config)
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            dummy_img = jnp.zeros(
+                (1, self.config.image_size, self.config.image_size, 3), jnp.float32
+            )
+            dummy_tok = jnp.zeros((1, self.config.context_length), jnp.int32)
+            params = self.module.init(key, dummy_img, dummy_tok)["params"]
+        self.params = params
+        if tokenizer is None:
+            from tvc.models.tokenizer import get_tokenizer
+
+            tokenizer = get_tokenizer(
+                vocab_size=self.config.vocab_size,
+                context_length=self.config.context_length,
+            )
+        self.tokenizer = tokenizer
+
+        self._encode_image = jax.jit(
+            lambda p, x: self.module.apply({"params": p}, x, method=CLIPModule.encode_image)
+        )
+        self._encode_text = jax.jit(
+            lambda p, t: self.module.apply({"params": p}, t, method=CLIPModule.encode_text)
+        )
+
+    # -- functional core (for attacks / pipelines) --------------------------
+    def image_features(self, params: Dict, pixels: Array) -> Array:
+        """Pure fn: CLIP-normalized pixels [B,H,W,3] -> [B,E]. Differentiable
+        (this replaces the reference's encode_image_tensor(requires_grad))."""
+        return self.module.apply(
+            {"params": params}, pixels, method=CLIPModule.encode_image
+        )
+
+    def text_features(self, params: Dict, tokens: Array) -> Array:
+        return self.module.apply(
+            {"params": params}, tokens, method=CLIPModule.encode_text
+        )
+
+    # -- reference-parity convenience API ------------------------------------
+    def preprocess(self, images: Sequence) -> np.ndarray:
+        return preprocess_images(images, self.config.image_size)
+
+    def tokenize(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        return self.tokenizer(texts)
+
+    def encode_image(self, images, normalize: bool = True) -> Array:
+        """PIL list or raw [0,1] pixel array -> embeddings [B, E].
+
+        Arrays are assumed to be RAW pixels in [0, 1] (NHWC) and are
+        CLIP-normalized here; for already-normalized tensors use
+        ``encode_image_tensor`` (mirrors the reference's
+        encode_image vs encode_image_tensor split, SURVEY.md §2.2).
+        """
+        if isinstance(images, (list, tuple)):
+            images = self.preprocess(images)  # resize + CLIP stats
+        else:
+            arr = jnp.asarray(images)
+            if arr.ndim == 3:
+                arr = arr[None]
+            images = normalize_pixels(arr)
+        feats = self._encode_image(self.params, jnp.asarray(images))
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_image_tensor(self, pixels: Array, normalize: bool = True) -> Array:
+        """Differentiable path on already-normalized pixels (attack loop)."""
+        feats = self.image_features(self.params, pixels)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_text(self, texts, normalize: bool = True) -> Array:
+        if isinstance(texts, (str,)) or (
+            isinstance(texts, (list, tuple)) and texts and isinstance(texts[0], str)
+        ):
+            tokens = self.tokenize(texts)
+        else:
+            tokens = texts
+        feats = self._encode_text(self.params, jnp.asarray(tokens))
+        return l2_normalize(feats) if normalize else feats
+
+    def get_text_image_similarity(self, text, image) -> Array:
+        """cos(text, image) (reference src/detector.py:461-463)."""
+        t = self.encode_text([text] if isinstance(text, str) else text)
+        i = self.encode_image(image if isinstance(image, (list, tuple)) else [image])
+        return cosine_similarity(t, i)

@@ -1,0 +1,183 @@
+"""Text tokenizers for the CLIP text tower.
+
+Two implementations:
+
+* ``BPETokenizer`` — byte-pair-encoding compatible with CLIP checkpoints;
+  requires a vocab/merges file on disk (gated: the default environment is
+  zero-egress, so pretrained assets may be absent).
+* ``HashTokenizer`` — deterministic, dependency-free fallback: words hash
+  into the vocab range. Exactly reproducible across processes (stable
+  FNV-1a, not python ``hash``). Semantically meaningless but
+  distribution-preserving enough for architecture, attack-loop, and
+  pipeline correctness work with random-weight models.
+
+Both produce fixed-length int32 ``[B, context_length]`` with
+``sot = vocab-2`` and ``eot = vocab-1`` so CLIP's take-feature-at-argmax
+convention (tvc/models/clip.py TextTower) always selects the EOT position.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+def _fnv1a(word: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in word.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class HashTokenizer:
+    """Deterministic hash tokenizer (test / random-weight operation)."""
+
+    def __init__(self, vocab_size: int = 49408, context_length: int = 77):
+        if vocab_size < 8:
+            raise ValueError("vocab_size too small")
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+        self.pad_id = 0
+        self.sot_id = vocab_size - 2
+        self.eot_id = vocab_size - 1
+
+    def _word_ids(self, text: str) -> List[int]:
+        words = "".join(
+            ch if ch.isalnum() else " " for ch in text.lower()
+        ).split()
+        # ids in [1, sot_id)
+        span = self.sot_id - 1
+        return [1 + (_fnv1a(w) % span) for w in words]
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.full((len(texts), self.context_length), self.pad_id, dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = [self.sot_id] + self._word_ids(t)[: self.context_length - 2] + [
+                self.eot_id
+            ]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class BPETokenizer:
+    """CLIP-style BPE over a merges file (gated on asset availability).
+
+    Loads an OpenAI-CLIP ``bpe_simple_vocab_16e6``-format merges list or a
+    HF ``vocab.json``+``merges.txt`` pair. Kept intentionally minimal; the
+    semantics follow the published CLIP tokenizer (lowercase, whitespace
+    split with basic punctuation handling, ``</w>`` end-of-word marker).
+    """
+
+    def __init__(
+        self,
+        merges_path: str,
+        vocab_size: int = 49408,
+        context_length: int = 77,
+    ):
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+        byte_list = self._bytes_to_unicode()
+        vocab = list(byte_list.values())
+        vocab.extend([v + "</w>" for v in vocab])
+        merges: List[tuple] = []
+        with open(merges_path, "r", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # skip header lines that aren't pairs
+        for line in lines:
+            parts = line.strip().split()
+            if len(parts) == 2:
+                merges.append(tuple(parts))
+        merges = merges[: vocab_size - len(vocab) - 2]
+        for m in merges:
+            vocab.append("".join(m))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.byte_encoder = byte_list
+        self.sot_id = self.encoder["<|startoftext|>"]
+        self.eot_id = self.encoder["<|endoftext|>"]
+        self.pad_id = 0
+        self._cache = {}
+
+    @staticmethod
+    def _bytes_to_unicode():
+        bs = (
+            list(range(ord("!"), ord("~") + 1))
+            + list(range(ord("\xa1"), ord("\xac") + 1))
+            + list(range(ord("\xae"), ord("\xff") + 1))
+        )
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        return dict(zip(bs, [chr(c) for c in cs]))
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            new_word = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == first
+                    and word[i + 1] == second
+                ):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+        self._cache[token] = list(word)
+        return list(word)
+
+    def _encode_text(self, text: str) -> List[int]:
+        import re
+
+        pat = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\w]+|[^\s\w]+",
+            re.IGNORECASE,
+        )
+        ids: List[int] = []
+        for token in pat.findall(text.lower().strip()):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder.get(t, 0) for t in self._bpe(token))
+        return ids
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.full((len(texts), self.context_length), self.pad_id, dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = (
+                [self.sot_id]
+                + self._encode_text(t)[: self.context_length - 2]
+                + [self.eot_id]
+            )
+            out[i, : len(ids)] = ids
+        return out
+
+
+def get_tokenizer(
+    vocab_size: int = 49408,
+    context_length: int = 77,
+    merges_path: Optional[str] = None,
+) -> Callable[[Sequence[str]], np.ndarray]:
+    """Return the best available tokenizer: BPE when a merges file exists
+    (path arg or $TVC_CLIP_BPE), else the deterministic hash fallback."""
+    merges_path = merges_path or os.environ.get("TVC_CLIP_BPE")
+    if merges_path and os.path.exists(merges_path) and vocab_size == 49408:
+        return BPETokenizer(merges_path, vocab_size, context_length)
+    return HashTokenizer(vocab_size, context_length)
