@@ -1,0 +1,171 @@
+"""tvc benchmark: defended queries/sec + detection AUROC on one TPU chip.
+
+Workload (BASELINE.json config #1): CLIP ViT-B/32 cosine-consistency
+detector with pre-generated text variants (no Qwen/SD): per query
+  1x image encode (224x224) + V=6 variant/original text encodes
+  + bank top-k (131072 x 512 exact matmul) + fused Pallas consistency kernel.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline: reference 52.3 defended q/s on 6x RTX 4090 (README.md:891-897).
+
+Notes: weights are random (zero-egress environment) — identical FLOPs to
+pretrained weights, so throughput is faithful; AUROC is measured on
+PGD-attacked vs clean queries under the same detector. Inputs are generated
+on device and reused across timing iterations (measures sustained device
+throughput; host input pipelining is a separate axis).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.core import consistency as C
+    from tvc.core.pallas import fused_consistency_scores
+    from tvc.core.similarity import batched_set_cosine, cosine_similarity, l2_normalize
+    from tvc.models import CLIPConfig, CLIPModel
+    from tvc.models.clip import CLIPModule, normalize_pixels
+
+    backend = jax.default_backend()
+    log(f"backend: {backend} devices: {jax.devices()}")
+
+    small = "--small" in sys.argv
+    cfg = CLIPConfig.tiny() if small else CLIPConfig()
+    B = 64 if small else 256
+    V = 6
+    K = 10
+    BANK_N = 4096 if small else 131072
+    model = CLIPModel(cfg, seed=0)
+    module = model.module
+    D = cfg.embed_dim
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pixels = jax.random.uniform(k1, (B, cfg.image_size, cfg.image_size, 3))
+    tokens = jnp.asarray(
+        model.tokenize([f"a photo of scene number {i} with objects" for i in range(B)])
+    )
+    variant_tokens = jnp.asarray(
+        np.stack(
+            [
+                model.tokenize(
+                    [f"variant {v} of scene {i} with objects" for v in range(V)]
+                )
+                for i in range(B)
+            ]
+        )
+    )  # [B, V, T]
+    bank = l2_normalize(jax.random.normal(k2, (BANK_N, D)))
+
+    params = model.params
+
+    @jax.jit
+    def defended_step(params, pixels, tokens, variant_tokens, bank):
+        img = l2_normalize(
+            module.apply(
+                {"params": params}, normalize_pixels(pixels), method=CLIPModule.encode_image
+            )
+        )
+        txt = l2_normalize(
+            module.apply({"params": params}, tokens, method=CLIPModule.encode_text)
+        )
+        b, v, t = variant_tokens.shape
+        var = l2_normalize(
+            module.apply(
+                {"params": params},
+                variant_tokens.reshape(b * v, t),
+                method=CLIPModule.encode_text,
+            )
+        ).reshape(b, v, -1)
+        # retrieval references: exact top-k over the bank (one MXU matmul)
+        sims = jnp.dot(img, bank.T, preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(sims, K)
+        refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(b, K, -1)
+        out = fused_consistency_scores(img, txt, var, refs)
+        return out["aggregated"], out["is_adversarial"]
+
+    log("compiling defended step...")
+    t0 = time.time()
+    agg, flags = defended_step(params, pixels, tokens, variant_tokens, bank)
+    jax.block_until_ready(agg)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # steady-state throughput
+    n_iter = 5 if small else 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        agg, flags = defended_step(params, pixels, tokens, variant_tokens, bank)
+    jax.block_until_ready(agg)
+    elapsed = time.time() - t0
+    qps = B * n_iter / elapsed
+    log(f"defended throughput: {qps:.1f} q/s ({elapsed / n_iter * 1e3:.1f} ms/batch of {B})")
+
+    # detection AUROC: PGD-attacked vs clean under the same scores
+    from tvc.attacks.pgd import PGDAttackConfig, _pgd_run
+    from tvc.metrics import DetectionEvaluator
+
+    n_adv = min(B, 64)
+    atk_cfg = PGDAttackConfig(num_steps=10)
+
+    def encode(px):
+        return l2_normalize(
+            module.apply(
+                {"params": params}, normalize_pixels(px), method=CLIPModule.encode_image
+            )
+        )
+
+    txt_feats = l2_normalize(
+        module.apply({"params": params}, tokens[:n_adv], method=CLIPModule.encode_text)
+    )
+    log("compiling + running PGD...")
+    t0 = time.time()
+    run = jax.jit(lambda px, tf, k: _pgd_run(encode, atk_cfg, px, tf, tf, k))
+    adv, _ = run(pixels[:n_adv], txt_feats, k3)
+    jax.block_until_ready(adv)
+    log(f"PGD done: {time.time() - t0:.1f}s")
+
+    clean_agg, _ = defended_step(params, pixels, tokens, variant_tokens, bank)
+    adv_pixels = jnp.concatenate([adv, pixels[n_adv:]], axis=0)
+    adv_agg, _ = defended_step(params, adv_pixels, tokens, variant_tokens, bank)
+    labels = np.concatenate([np.zeros(n_adv), np.ones(n_adv)])
+    scores = np.concatenate(
+        [np.asarray(clean_agg[:n_adv]), np.asarray(adv_agg[:n_adv])]
+    )
+    auroc = DetectionEvaluator.auroc(labels, scores)
+    log(f"detection AUROC (PGD vs clean): {auroc:.4f}")
+
+    baseline_qps = 52.3  # reference, 6x RTX 4090 (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "defended_queries_per_sec",
+                "value": round(float(qps), 2),
+                "unit": "queries/s",
+                "vs_baseline": round(float(qps) / baseline_qps, 3),
+                "auroc_pgd": round(float(auroc), 4),
+                "batch_size": B,
+                "bank_size": BANK_N,
+                "backend": backend,
+                "model": cfg.model_name,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent))
+    main()

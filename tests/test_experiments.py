@@ -1,0 +1,72 @@
+"""Four-scenarios harness end-to-end on tiny CLIP + synthetic data."""
+
+import numpy as np
+import pytest
+
+from tvc.attacks import HubnessAttackConfig, PGDAttackConfig
+from tvc.augment import TextAugmentConfig, TextAugmenter
+from tvc.data import DataConfig, SyntheticDataset
+from tvc.experiments import FourScenariosConfig, FourScenariosExperiment
+from tvc.models import CLIPConfig, CLIPModel
+from tvc.pipeline import MultiModalDetectionPipeline, PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    clip = CLIPModel(CLIPConfig.tiny(), seed=0)
+    ds = SyntheticDataset(DataConfig(image_size=clip.config.image_size, max_samples=8))
+    batch = next(ds.batches(batch_size=8))
+    pipe = MultiModalDetectionPipeline(
+        clip,
+        PipelineConfig(batch_size=8),
+        text_augmenter=TextAugmenter(TextAugmentConfig(seed=0)),
+    )
+    return clip, pipe, batch
+
+
+def test_four_scenarios_runs_and_separates(setup, tmp_path):
+    clip, pipe, batch = setup
+    cfg = FourScenariosConfig(
+        attacks=("pgd",),
+        num_samples=8,
+        pgd=PGDAttackConfig(epsilon=16 / 255, alpha=4 / 255, num_steps=15),
+        output_dir=str(tmp_path),
+    )
+    exp = FourScenariosExperiment(clip, pipe, cfg)
+    results = exp.run(batch["images"], batch["texts"])
+
+    assert results["num_samples"] == 8
+    s1 = results["scenario_1_no_defense_with_attack"]["pgd"]
+    s2 = results["scenario_2_no_defense_no_attack"]
+    s4 = results["scenario_4_defense_with_attack"]["pgd"]
+    # attack lowers similarity vs clean
+    assert 0.0 <= s1["attack_success_rate"] <= 1.0
+    assert 0.0 <= s2["retrieval_accuracy"] <= 1.0
+    # defense separates attacked from clean
+    assert s4["auroc"] > 0.5
+    # result JSON written
+    assert "output_path" in results
+    import json
+
+    loaded = json.loads(open(results["output_path"]).read())
+    assert loaded["summary"]["auroc"]["pgd"] == s4["auroc"]
+
+
+def test_four_scenarios_hubness(setup, tmp_path):
+    clip, pipe, batch = setup
+    cfg = FourScenariosConfig(
+        attacks=("hubness",),
+        num_samples=4,
+        hubness=HubnessAttackConfig(num_iterations=10, num_target_queries=4),
+        output_dir=str(tmp_path),
+        save_results=False,
+    )
+    results = FourScenariosExperiment(clip, pipe, cfg).run(batch["images"], batch["texts"])
+    assert "hubness" in results["scenario_1_no_defense_with_attack"]
+
+
+def test_unknown_attack_raises(setup):
+    clip, pipe, _ = setup
+    exp = FourScenariosExperiment(clip, pipe, FourScenariosConfig(attacks=("bad",), save_results=False))
+    with pytest.raises(ValueError):
+        exp._make_attacker("bad")

@@ -1,0 +1,78 @@
+"""SPMD step builders on the virtual 8-device mesh: defense step, training
+step, and the driver's dryrun_multichip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tvc.models import CLIPConfig, CLIPModel
+from tvc.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from tvc.parallel.steps import make_defense_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), (DATA_AXIS, MODEL_AXIS))
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CLIPModel(CLIPConfig.tiny(), seed=0)
+
+
+def test_defense_step(mesh, model):
+    cfg = model.config
+    rng = np.random.default_rng(0)
+    B, V, k, rows = 8, 3, 4, 16
+    bank = jnp.asarray(rng.normal(size=(rows * 2, cfg.embed_dim)), jnp.float32)
+    bank = bank / jnp.linalg.norm(bank, axis=-1, keepdims=True)
+    pixels = jnp.asarray(rng.random((B, cfg.image_size, cfg.image_size, 3)), jnp.float32)
+    texts = [f"text {i}" for i in range(B)]
+    tokens = jnp.asarray(model.tokenize(texts))
+    variant_tokens = jnp.asarray(
+        np.stack([model.tokenize([f"v{j} {t}" for j in range(V)]) for t in texts])
+    )
+    step = make_defense_step(model, mesh, bank_rows_per_shard=rows, top_k=k)
+    flags, agg, idx = step(model.params, pixels, tokens, variant_tokens, bank)
+    assert flags.shape == (B,)
+    assert idx.shape == (B, k)
+    assert np.all(np.asarray(idx) < rows * 2)
+    # sharded top-k matches single-device oracle
+    img = np.asarray(model.encode_image(np.asarray(pixels)))
+    sims = img @ np.asarray(bank).T
+    want_idx = np.argsort(-sims, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_train_step_reduces_loss(mesh, model):
+    cfg = model.config
+    rng = np.random.default_rng(1)
+    B = 8
+    pixels = jnp.asarray(rng.random((B, cfg.image_size, cfg.image_size, 3)), jnp.float32)
+    tokens = jnp.asarray(model.tokenize([f"sample {i}" for i in range(B)]))
+    step, opt_state = make_train_step(model, mesh)
+    params = model.params
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, pixels, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]  # overfits the tiny fixed batch
+    assert np.all(np.isfinite(losses))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    import __graft_entry__ as g
+
+    # compile-check the flagship forward on CPU with tiny substitute is not
+    # possible (entry pins ViT-B/32); just validate the callable contract
+    fn, args = g.entry()
+    assert callable(fn) and len(args) == 3
