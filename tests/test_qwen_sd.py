@@ -1,0 +1,166 @@
+"""Qwen2 decode loop + Stable Diffusion sampler + SD reference generator
+(tiny configs; architecture/determinism/integration correctness)."""
+
+import numpy as np
+import pytest
+
+from tvc.models.qwen import QwenConfig, QwenModel
+from tvc.models.sd import SDConfig, StableDiffusionModel, ddim_schedule
+from tvc.sd_ref import SDReferenceConfig, SDReferenceGenerator, assess_image_quality
+
+
+@pytest.fixture(scope="module")
+def qwen():
+    return QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=8)
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return StableDiffusionModel(SDConfig.tiny(), seed=0)
+
+
+# ---- Qwen -------------------------------------------------------------------
+
+
+def test_qwen_greedy_deterministic(qwen):
+    a = qwen.generate(["hello world test"], temperature=0.0)
+    b = qwen.generate(["hello world test"], temperature=0.0)
+    assert a == b
+
+
+def test_qwen_paraphrases_api(qwen):
+    outs = qwen.generate_paraphrases("a cat sat on the mat", num_paraphrases=3)
+    assert len(outs) <= 3
+    assert all(isinstance(o, str) for o in outs)
+
+
+def test_qwen_sampling_varies_with_temperature(qwen):
+    outs = qwen.generate(["same prompt"] * 4, temperature=1.5, seed=3)
+    assert len(set(outs)) > 1  # different sample keys -> different outputs
+
+
+def test_qwen_augmenter_integration(qwen):
+    from tvc.augment import TextAugmentConfig, TextAugmenter
+
+    aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_synonym_replacement=False,
+            enable_syntax_transformation=False,
+            enable_template=False,
+            enable_quality_filter=False,
+        ),
+        paraphrase_generator=qwen.as_paraphrase_generator(),
+    )
+    out = aug.generate_variants("a dog runs in the park", 2)
+    assert isinstance(out, list)
+
+
+def test_qwen_kv_cache_matches_full_forward():
+    """Greedy decode with KV cache must equal argmax over full re-forward."""
+    import jax.numpy as jnp
+
+    m = QwenModel(QwenConfig.tiny(), seed=1, max_new_tokens=4)
+    prompt = "check cache equivalence now"
+    out_cached = m.generate([prompt], temperature=0.0)[0]
+
+    # manual: repeatedly full-forward and take argmax
+    tok = m.tokenizer([prompt])
+    lengths = (tok != m.tokenizer.pad_id).sum(axis=1)
+    plen = int(lengths[0])
+    ids = list(tok[0][:plen])
+    for _ in range(4):
+        T = len(ids)
+        positions = jnp.arange(T)[None]
+        mask = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -jnp.inf)[None, None]
+        logits, _ = m.module.apply(
+            {"params": m.params}, jnp.asarray([ids]), positions, mask
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        ids.append(nxt)
+        if nxt == m.tokenizer.eot_id:
+            break
+    manual = m._detokenize(np.asarray(ids[plen:]))
+    assert out_cached == manual
+
+
+# ---- SD ---------------------------------------------------------------------
+
+
+def test_sd_generation_shapes_and_range(sd):
+    imgs = sd.generate_image("a blue house", num_images=2, seed=1)
+    assert len(imgs) == 2
+    assert imgs[0].shape == (32, 32, 3)
+    assert imgs[0].min() >= 0.0 and imgs[0].max() <= 1.0
+
+
+def test_sd_deterministic_per_seed(sd):
+    a = sd.generate_image("a tree", num_images=1, seed=9)[0]
+    b = sd.generate_image("a tree", num_images=1, seed=9)[0]
+    c = sd.generate_image("a tree", num_images=1, seed=10)[0]
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_sd_batched_prompts(sd):
+    out = sd.generate_images_batch(["a", "b", "c"], num_images=2, seed=0)
+    assert len(out) == 3 and len(out[0]) == 2
+
+
+def test_sd_vae_roundtrip_shapes(sd):
+    imgs = np.random.default_rng(0).random((2, 32, 32, 3)).astype(np.float32)
+    lat = sd.encode_image(imgs)
+    assert lat.shape == (2, 16, 16, 4)
+    dec = np.asarray(sd.decode_latents(lat))
+    assert dec.shape == (2, 32, 32, 3)
+    assert dec.min() >= 0.0 and dec.max() <= 1.0
+
+
+def test_ddim_schedule_monotone():
+    ts, ac = ddim_schedule(SDConfig.tiny())
+    assert len(ts) == SDConfig.tiny().num_inference_steps
+    assert np.all(np.diff(ts) < 0)  # descending timesteps
+    assert np.all(np.diff(ac) < 0)  # alphas_cumprod decreasing
+    assert 0 < ac[-1] < ac[0] < 1
+
+
+# ---- sd_ref ------------------------------------------------------------------
+
+
+def test_assess_image_quality():
+    blank = np.zeros((32, 32, 3))
+    assert assess_image_quality(blank) == 0.0
+    rng = np.random.default_rng(0)
+    rich = rng.random((32, 32, 3))
+    assert assess_image_quality(rich) > 0.2
+
+
+def test_sd_reference_generator(sd):
+    from tvc.models import CLIPConfig, CLIPModel
+
+    clip = CLIPModel(CLIPConfig.tiny(), seed=0)
+    gen = SDReferenceGenerator(
+        sd, SDReferenceConfig(num_images=2, quality_threshold=0.0), clip_model=clip
+    )
+    res = gen.generate_reference_images("a cat on a chair")
+    assert len(res["images"]) == 2
+    vecs = gen.generate_reference_vectors(["a cat", "a dog"], 2)
+    assert vecs.shape == (2, 2, clip.config.embed_dim)
+    # detector adapter
+    adapter = gen.as_reference_generator()
+    assert adapter(["x"], 2).shape == (1, 2, clip.config.embed_dim)
+
+
+def test_sd_reference_cache(tmp_path, sd):
+    from tvc.models import CLIPConfig, CLIPModel
+
+    clip = CLIPModel(CLIPConfig.tiny(), seed=0)
+    gen = SDReferenceGenerator(
+        sd,
+        SDReferenceConfig(num_images=1, cache_dir=str(tmp_path), quality_threshold=0.0),
+        clip_model=clip,
+    )
+    r1 = gen.generate_reference_images("cached prompt")
+    assert not r1["cache_hit"]
+    r2 = gen.generate_reference_images("cached prompt")
+    assert r2["cache_hit"]
+    np.testing.assert_array_equal(np.stack(r1["images"]), np.stack(r2["images"]))

@@ -7,4 +7,6 @@ from tvc.models.clip import (  # noqa: F401
     normalize_pixels,
     preprocess_images,
 )
+from tvc.models.qwen import QwenConfig, QwenModel  # noqa: F401
+from tvc.models.sd import SDConfig, StableDiffusionModel  # noqa: F401
 from tvc.models.tokenizer import BPETokenizer, HashTokenizer, get_tokenizer  # noqa: F401
