@@ -69,8 +69,7 @@ def main():
 
     params = model.params
 
-    @jax.jit
-    def defended_step(params, pixels, tokens, variant_tokens, bank):
+    def _defended_core(params, pixels, tokens, variant_tokens, bank):
         img = l2_normalize(
             module.apply(
                 {"params": params}, normalize_pixels(pixels), method=CLIPModule.encode_image
@@ -94,21 +93,64 @@ def main():
         out = fused_consistency_scores(img, txt, var, refs)
         return out["aggregated"], out["is_adversarial"]
 
-    log("compiling defended step...")
+    defended_step = jax.jit(_defended_core)
+
+    # Timing protocol for the axon tunnel: dispatches are async and
+    # block_until_ready does NOT synchronize — only a device->host readback
+    # does, and each dispatch+readback pays ~30ms tunnel RTT. So we chain K
+    # steps inside ONE jitted fori_loop (with an i-dependent input so XLA
+    # cannot hoist the loop body) and do a single readback. K is a traced
+    # bound (lowers to while_loop) so we can scale it until the measured
+    # window dwarfs the RTT without recompiling.
+    @jax.jit
+    def defended_k(params, pixels, tokens, variant_tokens, bank, k):
+        def body(i, acc):
+            px = pixels + i.astype(jnp.float32) * 1e-9  # defeat loop-invariant hoisting
+            agg, flags = _defended_core(params, px, tokens, variant_tokens, bank)
+            return acc + jnp.sum(agg)
+
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    # measure tunnel RTT to subtract it
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = tiny(jnp.zeros((8, 8)))
+    _ = float(z[0, 0])
+    t0 = time.time()
+    for _ in range(5):
+        z = tiny(z)
+        _ = float(z[0, 0])
+    rtt = (time.time() - t0) / 5
+    log(f"tunnel RTT: {rtt * 1e3:.1f} ms")
+
+    log("compiling defended step (single + K-chained)...")
     t0 = time.time()
     agg, flags = defended_step(params, pixels, tokens, variant_tokens, bank)
-    jax.block_until_ready(agg)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
-
-    # steady-state throughput
-    n_iter = 5 if small else 10
+    _ = float(agg[0])
+    log(f"single-step compile+run: {time.time() - t0:.1f}s")
     t0 = time.time()
-    for _ in range(n_iter):
-        agg, flags = defended_step(params, pixels, tokens, variant_tokens, bank)
-    jax.block_until_ready(agg)
-    elapsed = time.time() - t0
-    qps = B * n_iter / elapsed
-    log(f"defended throughput: {qps:.1f} q/s ({elapsed / n_iter * 1e3:.1f} ms/batch of {B})")
+    acc = defended_k(params, pixels, tokens, variant_tokens, bank, 2)
+    _ = float(acc)
+    log(f"K-chained compile+run: {time.time() - t0:.1f}s")
+
+    def measure(k):
+        t0 = time.time()
+        acc = defended_k(params, pixels, tokens, variant_tokens, bank, k)
+        _ = float(acc)
+        return time.time() - t0
+
+    # scale K until the window is >= 30x RTT (>= ~1s), then measure
+    K = 4
+    elapsed = measure(K)
+    while elapsed < max(30 * rtt, 1.0) and K < 4096:
+        K = int(K * max(2.0, min(16.0, (max(30 * rtt, 1.0) * 1.5) / max(elapsed, 1e-3))))
+        elapsed = measure(K)
+    elapsed = max(elapsed - rtt, 1e-9)
+    qps = B * K / elapsed
+    log(
+        f"defended throughput: {qps:.1f} q/s "
+        f"({elapsed / K * 1e3:.2f} ms/batch of {B}, {K} chained steps, "
+        f"window {elapsed:.2f}s)"
+    )
 
     # detection AUROC: PGD-attacked vs clean under the same scores
     from tvc.attacks.pgd import PGDAttackConfig, _pgd_run
@@ -117,10 +159,10 @@ def main():
     n_adv = min(B, 64)
     atk_cfg = PGDAttackConfig(num_steps=10)
 
-    def encode(px):
+    def encode(p, px):
         return l2_normalize(
             module.apply(
-                {"params": params}, normalize_pixels(px), method=CLIPModule.encode_image
+                {"params": p}, normalize_pixels(px), method=CLIPModule.encode_image
             )
         )
 
@@ -129,8 +171,8 @@ def main():
     )
     log("compiling + running PGD...")
     t0 = time.time()
-    run = jax.jit(lambda px, tf, k: _pgd_run(encode, atk_cfg, px, tf, tf, k))
-    adv, _ = run(pixels[:n_adv], txt_feats, k3)
+    run = jax.jit(lambda p, px, tf, k: _pgd_run(encode, atk_cfg, p, px, tf, tf, k))
+    adv, _ = run(params, pixels[:n_adv], txt_feats, k3)
     jax.block_until_ready(adv)
     log(f"PGD done: {time.time() - t0:.1f}s")
 

@@ -48,13 +48,16 @@ class AttackResult:
         return float(np.mean(self.success)) if self.success.size else 0.0
 
 
-def make_encoder(model: CLIPModel) -> Callable[[Array], Array]:
-    """Pixels [0,1] -> L2-normalized embeddings (differentiable, closes over
-    params). CLIP normalization happens inside so attacks perturb raw pixels
-    (matching the reference's pipeline, pgd_attack.py:95-106)."""
-    params = model.params
+def make_encoder(model: CLIPModel) -> Callable[[Any, Array], Array]:
+    """(params, pixels [0,1]) -> L2-normalized embeddings (differentiable).
 
-    def encode(pixels01: Array) -> Array:
+    Params are threaded as a jit ARGUMENT, never closed over — closing over
+    them would bake every weight into the compiled program as constants
+    (bloating the HLO past what compilers accept and defeating donation).
+    CLIP normalization happens inside so attacks perturb raw pixels
+    (matching the reference's pipeline, pgd_attack.py:95-106)."""
+
+    def encode(params, pixels01: Array) -> Array:
         feats = model.image_features(params, normalize_pixels(pixels01))
         return l2_normalize(feats)
 

@@ -67,7 +67,7 @@ class CWAttacker:
             if (self.config.targeted and target_texts is not None)
             else text_feats
         )
-        adv, sims, best_l2 = self._run(pixels, text_feats, target_feats)
+        adv, sims, best_l2 = self._run(self.model.params, pixels, text_feats, target_feats)
         result = result_from_device(
             adv, pixels, sims, self.config.targeted,
             info={"best_l2": jax.device_get(best_l2)},
@@ -81,7 +81,7 @@ class CWAttacker:
         return self.stats.get_stats()
 
 
-def _cw_run(encode, cfg: CWAttackConfig, pixels: Array, text_feats: Array, target_feats: Array):
+def _cw_run(encode, cfg: CWAttackConfig, params, pixels: Array, text_feats: Array, target_feats: Array):
     B = pixels.shape[0]
     objective_feats = target_feats if cfg.targeted else text_feats
     w0 = jnp.arctanh((pixels * 2.0 - 1.0) * 0.999999)
@@ -103,7 +103,7 @@ def _cw_run(encode, cfg: CWAttackConfig, pixels: Array, text_feats: Array, targe
 
     def total_loss(w, const):
         adv = (jnp.tanh(w) + 1.0) / 2.0
-        feats = encode(adv)
+        feats = encode(params, adv)
         fval = jnp.maximum(attack_fval(feats).mean() - cfg.kappa, 0.0)
         l2 = jnp.linalg.norm((adv - pixels).reshape(B, -1), axis=-1)
         return l2.mean() + const.mean() * fval
@@ -125,7 +125,7 @@ def _cw_run(encode, cfg: CWAttackConfig, pixels: Array, text_feats: Array, targe
     def binary_step(_, state):
         lower, upper, const, best_l2, best_adv = state
         adv = optimize_for_const(const)
-        sims = jnp.sum(encode(adv) * text_feats, axis=-1)
+        sims = jnp.sum(encode(params, adv) * text_feats, axis=-1)
         success = check_success(sims, cfg.targeted)
         l2 = jnp.linalg.norm((adv - pixels).reshape(B, -1), axis=-1)
         improved = success & (l2 < best_l2)
@@ -146,7 +146,7 @@ def _cw_run(encode, cfg: CWAttackConfig, pixels: Array, text_feats: Array, targe
         (lower, upper, const, best_l2, pixels),
     )
     _, _, _, best_l2, best_adv = state
-    final_sims = jnp.sum(encode(best_adv) * text_feats, axis=-1)
+    final_sims = jnp.sum(encode(params, best_adv) * text_feats, axis=-1)
     return best_adv, final_sims, best_l2
 
 

@@ -52,7 +52,7 @@ class FGSMAttacker:
             if (self.config.targeted and target_texts is not None)
             else text_feats
         )
-        adv, sims = self._run(pixels, text_feats, target_feats)
+        adv, sims = self._run(self.model.params, pixels, text_feats, target_feats)
         result = result_from_device(adv, pixels, sims, self.config.targeted)
         self.stats.update(result, time.time() - t0)
         return result
@@ -63,16 +63,16 @@ class FGSMAttacker:
         return self.stats.get_stats()
 
 
-def _fgsm_run(encode, cfg: FGSMAttackConfig, pixels: Array, text_feats: Array, target_feats: Array):
+def _fgsm_run(encode, cfg: FGSMAttackConfig, params, pixels: Array, text_feats: Array, target_feats: Array):
     objective_feats = target_feats if cfg.targeted else text_feats
     direction = 1.0 if cfg.targeted else -1.0
 
     def objective(adv):
-        return direction * jnp.mean(jnp.sum(encode(adv) * objective_feats, axis=-1))
+        return direction * jnp.mean(jnp.sum(encode(params, adv) * objective_feats, axis=-1))
 
     g = jax.grad(objective)(pixels)
     adv = jnp.clip(pixels + cfg.epsilon * jnp.sign(g), cfg.clip_min, cfg.clip_max)
-    sims = jnp.sum(encode(adv) * text_feats, axis=-1)
+    sims = jnp.sum(encode(params, adv) * text_feats, axis=-1)
     return adv, sims
 
 

@@ -75,7 +75,7 @@ class FSTAAttacker:
             # orthogonalize against the original text direction
             proj = jnp.sum(rand * text_feats, -1, keepdims=True) * text_feats
             target_feats = l2_normalize(rand - proj)
-        adv, sims = self._run(pixels, text_feats, target_feats)
+        adv, sims = self._run(self.model.params, pixels, text_feats, target_feats)
         result = result_from_device(adv, pixels, sims, targeted=False)
         self.stats.update(result, time.time() - t0)
         return result
@@ -86,11 +86,11 @@ class FSTAAttacker:
         return self.stats.get_stats()
 
 
-def _fsta_run(encode, cfg: FSTAAttackConfig, pixels: Array, text_feats: Array, target_feats: Array):
+def _fsta_run(encode, cfg: FSTAAttackConfig, params, pixels: Array, text_feats: Array, target_feats: Array):
     B = pixels.shape[0]
 
     def loss_fn(adv):
-        feats = encode(adv)  # already L2-normalized
+        feats = encode(params, adv)  # already L2-normalized
         if cfg.feature_distance_metric == "cosine":
             feature_loss = (
                 -jnp.mean(jnp.sum(feats * target_feats, -1))
@@ -129,7 +129,7 @@ def _fsta_run(encode, cfg: FSTAAttackConfig, pixels: Array, text_feats: Array, t
         0, cfg.num_iter, body,
         (pixels, jnp.zeros_like(pixels), jnp.asarray(cfg.learning_rate)),
     )
-    sims = jnp.sum(encode(adv) * text_feats, axis=-1)
+    sims = jnp.sum(encode(params, adv) * text_feats, axis=-1)
     return adv, sims
 
 

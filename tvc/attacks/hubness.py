@@ -98,7 +98,7 @@ class HubnessAttack:
             lambda k: jax.random.choice(k, M, shape=(Q,), replace=False)
         )(jax.random.split(key, B))
         queries = pool[idx]  # [B, Q, E]
-        adv, mean_sims = self._run(pixels, queries)
+        adv, mean_sims = self._run(self.model.params, pixels, queries)
 
         hub_scores = None
         if self._gallery_img is not None:
@@ -145,12 +145,12 @@ class HubnessAttack:
         return self.stats.get_stats()
 
 
-def _hubness_run(encode, cfg: HubnessAttackConfig, pixels: Array, queries: Array):
+def _hubness_run(encode, cfg: HubnessAttackConfig, params, pixels: Array, queries: Array):
     """queries: [B, Q, E] per-sample target query features."""
     q = l2_normalize(queries)
 
     def objective(adv):
-        feats = encode(adv)  # [B, E]
+        feats = encode(params, adv)  # [B, E]
         sims = jnp.einsum("be,bqe->bq", feats, q)  # [B, Q]
         return jnp.mean(sims)  # maximize mean sim == minimize reference loss
 
@@ -163,7 +163,7 @@ def _hubness_run(encode, cfg: HubnessAttackConfig, pixels: Array, queries: Array
         return project(adv, pixels, cfg.epsilon)
 
     adv = jax.lax.fori_loop(0, cfg.num_iterations, body, pixels)
-    final = jnp.einsum("be,bqe->bq", encode(adv), q).mean(axis=-1)
+    final = jnp.einsum("be,bqe->bq", encode(params, adv), q).mean(axis=-1)
     return adv, final
 
 

@@ -70,7 +70,7 @@ class PGDAttacker:
         else:
             target_feats = text_feats
         key = jax.random.PRNGKey(self.config.seed)
-        adv, sims = self._run(pixels, text_feats, target_feats, key)
+        adv, sims = self._run(self.model.params, pixels, text_feats, target_feats, key)
         result = result_from_device(adv, pixels, sims, self.config.targeted)
         self.stats.update(result, time.time() - t0)
         return result
@@ -85,6 +85,7 @@ class PGDAttacker:
 def _pgd_run(
     encode,
     cfg: PGDAttackConfig,
+    params,
     pixels: Array,
     text_feats: Array,
     target_feats: Array,
@@ -97,7 +98,7 @@ def _pgd_run(
     direction = 1.0 if cfg.targeted else -1.0
 
     def objective(adv):
-        feats = encode(adv)
+        feats = encode(params, adv)
         sims = jnp.sum(feats * objective_feats, axis=-1)
         return direction * jnp.mean(sims)
 
@@ -128,7 +129,7 @@ def _pgd_run(
     adv, _ = jax.lax.fori_loop(
         0, cfg.num_steps, body, (adv0, jnp.zeros_like(pixels))
     )
-    final_sims = jnp.sum(encode(adv) * text_feats, axis=-1)
+    final_sims = jnp.sum(encode(params, adv) * text_feats, axis=-1)
     return adv, final_sims
 
 

@@ -119,7 +119,7 @@ class SMAAttacker:
             if target_texts is not None
             else self._make_targets(text_feats)
         )
-        adv, sims = self._run(pixels, text_feats, target_feats)
+        adv, sims = self._run(self.model.params, pixels, text_feats, target_feats)
         result = result_from_device(adv, pixels, sims, targeted=False)
         self.stats.update(result, time.time() - t0)
         return result
@@ -130,14 +130,14 @@ class SMAAttacker:
         return self.stats.get_stats()
 
 
-def _sma_run(encode, cfg: SMAAttackConfig, pixels: Array, text_feats: Array, target_feats: Array):
+def _sma_run(encode, cfg: SMAAttackConfig, params, pixels: Array, text_feats: Array, target_feats: Array):
     B = pixels.shape[0]
     tgt = l2_normalize(target_feats)
     txt = l2_normalize(text_feats)
 
     def loss_fn(adv):
         x = jpeg_approx(adv, cfg.jpeg_quality) if cfg.jpeg_robust else adv
-        feats = encode(x)
+        feats = encode(params, x)
         cos_t = jnp.sum(feats * tgt, -1)
         cos_x = jnp.sum(feats * txt, -1)
         semantic = (
@@ -168,7 +168,7 @@ def _sma_run(encode, cfg: SMAAttackConfig, pixels: Array, text_feats: Array, tar
         return project(adv, pixels, cfg.epsilon), mom
 
     adv, _ = jax.lax.fori_loop(0, cfg.num_iter, body, (pixels, jnp.zeros_like(pixels)))
-    sims = jnp.sum(encode(adv) * txt, axis=-1)
+    sims = jnp.sum(encode(params, adv) * txt, axis=-1)
     return adv, sims
 
 

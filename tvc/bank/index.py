@@ -126,16 +126,17 @@ class EmbeddingBank:
 
     # -- search ----------------------------------------------------------------
     def _make_search(self, k: int):
+        """Bank and validity mask are jit ARGUMENTS (closing over the device
+        array would bake it into the compiled program as a constant)."""
         n_rows = self._bank.shape[0]
-        valid = jnp.arange(n_rows) < self._n
 
         if self.mesh is None:
             @jax.jit
-            def search(queries):
+            def search(bank, valid, queries):
                 q = l2_normalize(queries) if self.normalize else queries
                 sims = jnp.dot(
                     q,
-                    self._bank.T,
+                    bank.T,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
@@ -158,9 +159,9 @@ class EmbeddingBank:
         )
 
         @jax.jit
-        def search(queries):
+        def search(bank, valid, queries):
             q = l2_normalize(queries) if self.normalize else queries
-            return mapped(q, self._bank, valid)
+            return mapped(q, bank, valid)
 
         return search
 
@@ -175,7 +176,8 @@ class EmbeddingBank:
             raise ValueError(f"k={k} exceeds bank size {self._n}")
         if self._search_fn is None or self._search_fn[0] != k:
             self._search_fn = (k, self._make_search(k))
-        return self._search_fn[1](queries.astype(jnp.float32))
+        valid = jnp.arange(self._bank.shape[0]) < self._n
+        return self._search_fn[1](self._bank, valid, queries.astype(jnp.float32))
 
     def similarity_matrix(self, queries: Array) -> Array:
         """Full [B, N] similarity matrix (reference

@@ -336,10 +336,11 @@ class StableDiffusionModel:
         params = tower.init(
             jax.random.PRNGKey(seed + 17), jnp.zeros((1, c.context_len), jnp.int32)
         )["params"]
-        encode = jax.jit(lambda t: tower.apply({"params": params}, t))
+        # params threaded as a jit argument (never baked in as constants)
+        encode = jax.jit(lambda p, t: tower.apply({"params": p}, t))
 
         def enc(texts: List[str]) -> Array:
-            return encode(jnp.asarray(tok(texts)))
+            return encode(params, jnp.asarray(tok(texts)))
 
         return enc
 
