@@ -1,0 +1,152 @@
+"""Hardware detection + device runtime surface, TPU-reinterpreted.
+
+Covers reference src/utils/hardware_detector.py (HardwareDetector :32,
+GPUInfo :511, SystemInfo :537, detect_and_configure :561) and the
+still-useful parts of src/utils/cuda_utils.py (memory stats :167+, batch
+auto-tuning :561) — XLA owns allocation on TPU, so the OOM-retry machinery
+reduces to batch-size halving around a jit call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import platform
+from typing import Any, Callable, Dict, List, Optional
+
+
+@dataclasses.dataclass
+class DeviceInfo:
+    """(reference GPUInfo :511, generalized)"""
+
+    index: int
+    platform: str  # tpu | gpu | cpu
+    kind: str  # e.g. "TPU v5 lite"
+    memory_bytes: Optional[int] = None
+    coords: Optional[tuple] = None
+
+
+@dataclasses.dataclass
+class SystemInfo:
+    """(reference SystemInfo :537)"""
+
+    platform: str
+    num_devices: int
+    devices: List[DeviceInfo]
+    host_count: int
+    cpu_count: int
+    memory_gb: float
+    python_version: str
+    jax_version: str
+
+
+class HardwareDetector:
+    """Probes the accelerator topology (reference HardwareDetector :32)."""
+
+    def __init__(self):
+        self._info: Optional[SystemInfo] = None
+
+    def detect(self) -> SystemInfo:
+        if self._info is not None:
+            return self._info
+        import jax
+
+        devices = jax.devices()
+        infos = []
+        for d in devices:
+            mem = None
+            try:
+                stats = d.memory_stats()
+                if stats:
+                    mem = stats.get("bytes_limit")
+            except Exception:
+                pass
+            infos.append(
+                DeviceInfo(
+                    index=d.id,
+                    platform=d.platform,
+                    kind=getattr(d, "device_kind", str(d)),
+                    memory_bytes=mem,
+                    coords=getattr(d, "coords", None),
+                )
+            )
+        try:
+            import psutil
+
+            mem_gb = psutil.virtual_memory().total / 1e9
+            cpus = psutil.cpu_count() or os.cpu_count() or 1
+        except ImportError:
+            mem_gb = 0.0
+            cpus = os.cpu_count() or 1
+        self._info = SystemInfo(
+            platform=jax.default_backend(),
+            num_devices=len(devices),
+            devices=infos,
+            host_count=jax.process_count(),
+            cpu_count=cpus,
+            memory_gb=mem_gb,
+            python_version=platform.python_version(),
+            jax_version=jax.__version__,
+        )
+        return self._info
+
+    def has_tpu(self) -> bool:
+        return self.detect().platform == "tpu"
+
+    def get_available_devices(self) -> List[DeviceInfo]:
+        return self.detect().devices
+
+    def summary(self) -> Dict[str, Any]:
+        info = self.detect()
+        return {
+            "platform": info.platform,
+            "num_devices": info.num_devices,
+            "device_kinds": sorted({d.kind for d in info.devices}),
+            "hosts": info.host_count,
+            "jax": info.jax_version,
+        }
+
+
+def device_memory_stats(device=None) -> Dict[str, int]:
+    """Live HBM stats (replaces GPUMonitor, reference cuda_utils.py:167+)."""
+    import jax
+
+    d = device or jax.devices()[0]
+    try:
+        return dict(d.memory_stats() or {})
+    except Exception:
+        return {}
+
+
+def optimize_batch_size(
+    run: Callable[[int], Any],
+    initial: int = 1024,
+    min_size: int = 1,
+    max_tries: int = 8,
+) -> int:
+    """Find the largest batch size that executes without a memory error
+    (reference cuda_utils.py:561 ``optimize_batch_size`` + the OOM
+    retry-with-shrink loop :106-143, shrink factor here 1/2)."""
+    size = initial
+    for _ in range(max_tries):
+        if size < min_size:
+            break
+        try:
+            run(size)
+            return size
+        except Exception as e:  # XLA raises RESOURCE_EXHAUSTED on OOM
+            if "RESOURCE_EXHAUSTED" not in str(e) and "out of memory" not in str(e).lower():
+                raise
+            size //= 2
+    return max(size, min_size)
+
+
+def detect_and_configure() -> Dict[str, Any]:
+    """(reference hardware_detector.py:561) -> config fragment for the
+    dynamic profile system."""
+    det = HardwareDetector()
+    info = det.detect()
+    from tvc.utils.profiles import select_profile
+
+    profile = select_profile(info)
+    return {"hardware": det.summary(), "profile": dataclasses.asdict(profile)}

@@ -1,0 +1,148 @@
+"""Result visualization: ROC/PR curves, score distributions, embedding
+projections, confusion matrices.
+
+Covers reference src/utils/visualization.py (:31 ROC, :179 PR, :283
+distribution, :432 t-SNE, :591 confusion, :828 VisualizationManager) and
+experiments/utils/visualization.py. All matplotlib, Agg backend, PNG out.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+class VisualizationManager:
+    """(reference src/utils/visualization.py:828)"""
+
+    def __init__(self, output_dir: str = "./results/figures", dpi: int = 150):
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.dpi = dpi
+
+    def _save(self, fig, name: str) -> str:
+        path = self.output_dir / f"{name}.png"
+        fig.savefig(path, dpi=self.dpi, bbox_inches="tight")
+        plt.close(fig)
+        return str(path)
+
+    def plot_roc_curve(
+        self, labels: np.ndarray, scores: np.ndarray, name: str = "roc_curve"
+    ) -> str:
+        """(reference :31-178)"""
+        from sklearn.metrics import auc, roc_curve
+
+        fpr, tpr, _ = roc_curve(labels, scores)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.plot(fpr, tpr, label=f"AUC = {auc(fpr, tpr):.4f}")
+        ax.plot([0, 1], [0, 1], "--", color="gray", alpha=0.5)
+        ax.set_xlabel("False positive rate")
+        ax.set_ylabel("True positive rate")
+        ax.set_title("ROC curve")
+        ax.legend()
+        return self._save(fig, name)
+
+    def plot_pr_curve(
+        self, labels: np.ndarray, scores: np.ndarray, name: str = "pr_curve"
+    ) -> str:
+        """(reference :179-282)"""
+        from sklearn.metrics import average_precision_score, precision_recall_curve
+
+        prec, rec, _ = precision_recall_curve(labels, scores)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.plot(rec, prec, label=f"AP = {average_precision_score(labels, scores):.4f}")
+        ax.set_xlabel("Recall")
+        ax.set_ylabel("Precision")
+        ax.set_title("Precision-recall curve")
+        ax.legend()
+        return self._save(fig, name)
+
+    def plot_score_distribution(
+        self,
+        clean_scores: np.ndarray,
+        adv_scores: np.ndarray,
+        threshold: Optional[float] = None,
+        name: str = "score_distribution",
+    ) -> str:
+        """(reference :283-431)"""
+        fig, ax = plt.subplots(figsize=(6, 4))
+        bins = np.linspace(
+            min(clean_scores.min(), adv_scores.min()),
+            max(clean_scores.max(), adv_scores.max()),
+            40,
+        )
+        ax.hist(clean_scores, bins=bins, alpha=0.6, label="clean", density=True)
+        ax.hist(adv_scores, bins=bins, alpha=0.6, label="adversarial", density=True)
+        if threshold is not None:
+            ax.axvline(threshold, color="red", linestyle="--", label=f"threshold {threshold:.3f}")
+        ax.set_xlabel("Detection score")
+        ax.set_ylabel("Density")
+        ax.legend()
+        return self._save(fig, name)
+
+    def plot_embeddings(
+        self,
+        embeddings: np.ndarray,
+        labels: Sequence[int],
+        name: str = "embeddings",
+        method: str = "pca",
+    ) -> str:
+        """2D projection of embeddings (reference :432-590; PCA default —
+        t-SNE available, PCA is deterministic and fast)."""
+        if method == "tsne":
+            from sklearn.manifold import TSNE
+
+            xy = TSNE(n_components=2, random_state=0).fit_transform(embeddings)
+        else:
+            from sklearn.decomposition import PCA
+
+            xy = PCA(n_components=2, random_state=0).fit_transform(embeddings)
+        labels = np.asarray(labels)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        for lab in np.unique(labels):
+            m = labels == lab
+            ax.scatter(xy[m, 0], xy[m, 1], s=8, alpha=0.7, label=str(lab))
+        ax.legend()
+        ax.set_title(f"Embedding projection ({method})")
+        return self._save(fig, name)
+
+    def plot_confusion_matrix(
+        self, matrix: np.ndarray, name: str = "confusion_matrix"
+    ) -> str:
+        """(reference :591-717)"""
+        fig, ax = plt.subplots(figsize=(4, 4))
+        im = ax.imshow(matrix, cmap="Blues")
+        for i in range(matrix.shape[0]):
+            for j in range(matrix.shape[1]):
+                ax.text(j, i, str(int(matrix[i, j])), ha="center", va="center")
+        ax.set_xticks([0, 1], ["clean", "adv"])
+        ax.set_yticks([0, 1], ["clean", "adv"])
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("Actual")
+        fig.colorbar(im, shrink=0.8)
+        return self._save(fig, name)
+
+    def plot_metric_bars(
+        self, metrics: Dict[str, float], name: str = "metrics"
+    ) -> str:
+        """(reference :718-827)"""
+        fig, ax = plt.subplots(figsize=(max(4, len(metrics)), 4))
+        keys = list(metrics)
+        vals = [metrics[k] for k in keys]
+        ax.bar(keys, vals)
+        ax.set_ylim(0, max(1.0, max(vals) * 1.1))
+        for i, v in enumerate(vals):
+            ax.text(i, v, f"{v:.3f}", ha="center", va="bottom", fontsize=8)
+        plt.xticks(rotation=30, ha="right")
+        return self._save(fig, name)
+
+
+# reference alias (experiments side)
+ExperimentVisualizer = VisualizationManager
