@@ -1,0 +1,224 @@
+"""Alt defense stack, evaluation subpackage, analysis, utils."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tvc.defenses import ConsistencyChecker, DetectionConfig, MultiModalDefenseDetector
+from tvc.evaluation import (
+    DataValidationConfig,
+    DataValidator,
+    ExperimentConfig,
+    ExperimentEvaluator,
+)
+from tvc.models import CLIPConfig, CLIPModel
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return CLIPModel(CLIPConfig.tiny(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def batch(clip):
+    rng = np.random.default_rng(0)
+    s = clip.config.image_size
+    images = rng.random((6, s, s, 3)).astype(np.float32)
+    texts = [f"a scene with object number {i}" for i in range(6)]
+    return images, texts
+
+
+def make_alt_detector(clip, **kw):
+    rng = np.random.default_rng(1)
+    D = clip.config.embed_dim
+
+    def variants(text, n):
+        return [f"variant {i} of {text}" for i in range(n)]
+
+    def refs(texts, n):
+        t = np.asarray(clip.encode_text(list(texts)))
+        r = t[:, None, :] + 0.1 * rng.normal(size=(len(texts), n, D))
+        return r / np.linalg.norm(r, axis=-1, keepdims=True)
+
+    return MultiModalDefenseDetector(
+        clip,
+        DetectionConfig(**kw),
+        text_variant_generator=variants,
+        retrieval_generator=refs,
+        generative_generator=refs,
+    )
+
+
+def test_alt_detector_batched(clip, batch):
+    images, texts = batch
+    det = make_alt_detector(clip)
+    res = det.detect(images, texts)
+    assert res["is_adversarial"].shape == (6,)
+    assert res["overall_score"].shape == (6,)
+    cs = res["consistency_scores"]
+    assert set(cs) >= {"original_similarity", "text_variant_consistency", "cross_modal_variance"}
+
+
+def test_alt_detector_single_and_decision_direction(clip, batch):
+    images, texts = batch
+    det = make_alt_detector(clip, adaptive_threshold=False, threshold=0.99)
+    out = det.detect_single(images[0], texts[0])
+    # threshold ~0.99 means almost everything flags adversarial (score < thr)
+    assert out["is_adversarial"] is True
+    det2 = make_alt_detector(clip, adaptive_threshold=False, threshold=-1.0)
+    out2 = det2.detect_single(images[0], texts[0])
+    assert out2["is_adversarial"] is False
+
+
+def test_checker_history_and_stats(clip, batch):
+    images, texts = batch
+    det = make_alt_detector(clip)
+    det.detect(images, texts)
+    det.detect(images, texts)
+    stats = det.get_stats()
+    assert stats["detections"] == 12
+    assert stats["checker"]["total_decisions"] == 12
+
+
+def test_checker_calibration():
+    checker = ConsistencyChecker(threshold=0.5, adaptive_threshold=False)
+    clean = np.asarray([0.8, 0.75, 0.9, 0.85])
+    adv = np.asarray([0.2, 0.3, 0.25, 0.15])
+    thr = checker.calibrate_threshold(clean, adv)
+    assert 0.3 <= thr <= 0.75  # separates the groups
+
+
+def test_dedup_references(clip):
+    det = make_alt_detector(clip, dedup_similarity=0.99)
+    refs = np.ones((1, 3, clip.config.embed_dim), np.float32)
+    out = det._deduplicate_references(refs)
+    # identical rows: only the first survives
+    assert np.any(out[0, 0] != 0)
+    assert np.all(out[0, 1] == 0) and np.all(out[0, 2] == 0)
+
+
+# ---- evaluation --------------------------------------------------------------
+
+
+def test_cross_validation(rng):
+    labels = np.concatenate([np.zeros(100), np.ones(100)])
+    scores = np.concatenate([rng.normal(0.3, 0.1, 100), rng.normal(0.7, 0.1, 100)])
+    ev = ExperimentEvaluator(ExperimentConfig(n_folds=5, n_bootstrap=100))
+    res = ev.cross_validate(labels, scores)
+    assert res.metrics["auroc"] > 0.9
+    assert len(res.fold_metrics) == 5
+    lo, mid, hi = res.confidence_intervals["auroc"][1], res.metrics["auroc"], res.confidence_intervals["auroc"][2]
+    assert lo <= hi
+
+
+def test_compare_methods_significance(rng):
+    labels = np.concatenate([np.zeros(200), np.ones(200)])
+    good = np.concatenate([rng.normal(0.2, 0.1, 200), rng.normal(0.8, 0.1, 200)])
+    bad = rng.random(400)
+    ev = ExperimentEvaluator(ExperimentConfig(n_folds=8, n_bootstrap=50))
+    cmp = ev.compare_methods(labels, good, bad, "good", "bad")
+    assert cmp["auroc_delta"] > 0.2
+    assert cmp["p_value"] < 0.05 and cmp["significant"]
+
+
+def test_data_validator_finds_issues(clip):
+    rng = np.random.default_rng(2)
+    s = clip.config.image_size
+    images = rng.random((6, s, s, 3)).astype(np.float32)
+    images[3] = images[0]  # exact duplicate
+    images[4] = 0.5  # blank
+    texts = ["a cat on a mat", "a dog", "x", "a cat on a mat", "blank image here", "fine caption words"]
+    v = DataValidator(clip, DataValidationConfig(min_caption_words=2))
+    res = v.validate(images, texts)
+    assert not res.passed
+    assert any(0 in p[:2] and 3 in p[:2] for p in res.near_duplicate_pairs)
+    assert 4 in res.low_quality_images
+    assert 2 in res.invalid_captions  # "x" too short
+
+
+def test_data_validator_leakage(clip):
+    rng = np.random.default_rng(3)
+    s = clip.config.image_size
+    train = rng.random((4, s, s, 3)).astype(np.float32)
+    eval_imgs = rng.random((3, s, s, 3)).astype(np.float32)
+    eval_imgs[1] = train[2]  # leaked
+    v = DataValidator(clip)
+    res = v.validate(eval_imgs, ["one caption", "two caption", "three caption"], train_images=train)
+    assert any(p[0] == 1 and p[1] == 2 for p in res.leakage_pairs)
+
+
+# ---- analysis ----------------------------------------------------------------
+
+
+def test_analysis_runner(tmp_path):
+    from tvc.analysis import UnifiedAnalysisRunner
+
+    results_dir = tmp_path / "results"
+    results_dir.mkdir()
+    (results_dir / "exp1.json").write_text(
+        json.dumps(
+            {
+                "experiment": "four_scenarios",
+                "scenario_4": {"pgd": {"auroc": 0.97, "detection_rate": 0.9}},
+                "summary": {"false_positive_rate": 0.05},
+            }
+        )
+    )
+    runner = UnifiedAnalysisRunner(str(results_dir))
+    index = runner.run(charts=True)
+    assert index["num_experiments"] == 1
+    report = open(index["report"]).read()
+    assert "auroc" in report and "0.9700" in report
+    latex = open(index["latex"]).read()
+    assert r"\toprule" in latex and "0.970" in latex
+
+
+# ---- utils --------------------------------------------------------------------
+
+
+def test_hardware_detector_and_profiles():
+    from tvc.utils import DynamicConfigManager, HardwareDetector, select_profile
+
+    det = HardwareDetector()
+    info = det.detect()
+    assert info.num_devices == 8  # virtual CPU mesh
+    assert info.platform == "cpu"
+    profile = select_profile(info)
+    assert profile.name == "cpu"
+    mgr = DynamicConfigManager()
+    cfg = mgr.auto_configure_system(write=False)
+    assert cfg["profile"] == "cpu"
+    assert cfg["batch"]["default_size"] == profile.batch_size
+
+
+def test_seed_context():
+    import random
+
+    from tvc.utils import SeedContext, derive_key, set_random_seed
+
+    set_random_seed(1)
+    a = random.random()
+    set_random_seed(1)
+    assert random.random() == a
+    with SeedContext(2):
+        b = random.random()
+    with SeedContext(2):
+        assert random.random() == b
+    k1 = derive_key(0, 1, 2)
+    k2 = derive_key(0, 1, 2)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_experiment_logger(tmp_path):
+    from tvc.utils import ExperimentLogger
+
+    log = ExperimentLogger("unit", output_dir=str(tmp_path), console=False)
+    log.start({"param": 1})
+    log.log_metrics({"auroc": 0.9}, step=1)
+    log.log_artifact("/tmp/x.png")
+    log.complete({"final": 1.0})
+    rec = json.loads(open(log.record_path()).read())
+    assert rec["status"] == "completed"
+    assert rec["metrics"]["step_1"]["auroc"] == 0.9
+    assert "/tmp/x.png" in rec["artifacts"]

@@ -1,0 +1,168 @@
+"""Console entry points.
+
+Covers reference setup.py:177-187 console scripts: mm-defense, mm-attack,
+mm-deploy, mm-quick-start, mm-auto-deploy, mm-hardware-detect,
+mm-config-gen (+ tvc-build-bank replacing scripts/build_faiss_indices.py
+and tvc-analyze for the analysis runner).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+from typing import Optional, Sequence
+
+
+def defense_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-defense: run the experiment harness (reference mm-defense ->
+    run_experiments.main)."""
+    from tvc.experiments.harness import main
+
+    results = main(argv)
+    print(json.dumps({"output_path": results.get("output_path")}, indent=2))
+
+
+def attack_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-attack: attack sweep (reference runners/run_attack.py)."""
+    p = argparse.ArgumentParser(description="tvc attack sweep")
+    p.add_argument("--attacks", nargs="+", default=None)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--num-samples", type=int, default=16)
+    p.add_argument("--clip-model", default="tiny")
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+    from tvc.experiments.harness import HarnessConfig
+    from tvc.experiments.runners import AttackRunner
+
+    runner = AttackRunner(
+        HarnessConfig(
+            dataset=args.dataset,
+            num_samples=args.num_samples,
+            clip_model=args.clip_model,
+        )
+    )
+    out = runner.run(args.attacks)
+    text = json.dumps(out, indent=2, default=float)
+    if args.output:
+        Path(args.output).write_text(text)
+    print(text)
+
+
+def hardware_detect_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-hardware-detect (reference scripts/deploy.py hardware probe)."""
+    from tvc.utils import HardwareDetector
+
+    print(json.dumps(HardwareDetector().summary(), indent=2))
+
+
+def config_gen_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-config-gen: write the hardware-derived dynamic config
+    (reference dynamic_config.auto_configure_system)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--no-write", action="store_true")
+    args = p.parse_args(argv)
+    from tvc.utils import DynamicConfigManager
+
+    cfg = DynamicConfigManager().auto_configure_system(write=not args.no_write)
+    print(json.dumps(cfg, indent=2))
+
+
+def deploy_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-deploy / mm-auto-deploy: detect hardware, generate config, run a
+    smoke experiment (reference scripts/deploy.py:315)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip-smoke", action="store_true")
+    args = p.parse_args(argv)
+    from tvc.utils import DynamicConfigManager, HardwareDetector
+
+    hw = HardwareDetector().summary()
+    print("hardware:", json.dumps(hw))
+    cfg = DynamicConfigManager().auto_configure_system(write=True)
+    print("profile:", cfg["profile"])
+    if not args.skip_smoke:
+        from tvc.experiments.harness import HarnessConfig, ExperimentHarness
+
+        results = ExperimentHarness(
+            HarnessConfig(
+                experiment_mode="efficiency_analysis", num_samples=8, clip_model="tiny"
+            )
+        ).run()
+        print("smoke:", results.get("output_path"))
+
+
+def quick_start_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-quick-start: tiny end-to-end four-scenarios demo."""
+    from tvc.experiments.harness import ExperimentHarness, HarnessConfig
+
+    results = ExperimentHarness(
+        HarnessConfig(
+            experiment_mode="four_scenarios",
+            num_samples=8,
+            attacks=("pgd",),
+            clip_model="tiny",
+        )
+    ).run()
+    print(json.dumps(results["summary"], indent=2, default=float))
+
+
+def build_bank_main(argv: Optional[Sequence[str]] = None) -> None:
+    """tvc-build-bank: encode a dataset and persist image/text banks
+    (replaces reference scripts/build_faiss_indices.py)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data-dir", default="./data")
+    p.add_argument("--max-samples", type=int, default=1024)
+    p.add_argument("--clip-model", default="tiny")
+    p.add_argument("--output", default="./data/banks/default")
+    args = p.parse_args(argv)
+    from tvc.data import DataConfig, DataLoaderManager
+    from tvc.models import CLIPConfig, CLIPModel
+    from tvc.retrieval import MultiModalRetriever
+
+    clip_cfg = CLIPConfig.tiny() if args.clip_model == "tiny" else CLIPConfig()
+    model = CLIPModel(clip_cfg, seed=0)
+    ds = DataLoaderManager(
+        DataConfig(
+            dataset=args.dataset,
+            data_dir=args.data_dir,
+            image_size=clip_cfg.image_size,
+            max_samples=args.max_samples,
+        )
+    ).load_dataset()
+    retriever = MultiModalRetriever(model)
+    images, texts = [], []
+    for b in ds.batches(batch_size=64):
+        images.append(b["images"])
+        texts.extend(b["texts"])
+    import numpy as np
+
+    imgs = np.concatenate(images)
+    retriever.build_image_index(images=imgs, items=texts)
+    retriever.build_text_index(texts=texts)
+    retriever.save(args.output)
+    print(
+        json.dumps(
+            {
+                "output": args.output,
+                "image_bank": retriever.image_bank.size,
+                "text_bank": retriever.text_bank.size,
+            }
+        )
+    )
+
+
+def analyze_main(argv: Optional[Sequence[str]] = None) -> None:
+    """tvc-analyze (reference analysis/run_analysis.py CLI)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--results-dir", default="./results")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--no-charts", action="store_true")
+    args = p.parse_args(argv)
+    from tvc.analysis import UnifiedAnalysisRunner
+
+    index = UnifiedAnalysisRunner(args.results_dir, args.output_dir).run(
+        charts=not args.no_charts
+    )
+    print(json.dumps(index, indent=2, default=str))
