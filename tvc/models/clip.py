@@ -280,8 +280,28 @@ def preprocess_images(
     """PIL images / uint8 arrays -> [B, H, W, 3] float32 in CLIP stats.
 
     (Implied reference API ``CLIPModel.preprocess``,
-    hubness_attack.py:523,717.)
+    hubness_attack.py:523,717.) Uses the native C++ resize+normalize
+    pipeline (tvc/native) when built — anti-aliased triangle filter matching
+    PIL BILINEAR, OpenMP-parallel over the batch — with PIL as fallback.
     """
+    if normalize:
+        try:
+            from tvc import native
+
+            if native.available():
+                raws = []
+                for im in images:
+                    if hasattr(im, "convert"):
+                        raws.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+                    else:
+                        arr = np.asarray(im)
+                        if arr.dtype != np.uint8:
+                            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+                        raws.append(arr)
+                if all(r.ndim == 3 and r.shape[-1] == 3 for r in raws):
+                    return native.resize_normalize_varied(raws, image_size)
+        except Exception:
+            pass  # fall through to the PIL path
     out = []
     for im in images:
         if hasattr(im, "convert"):  # PIL (ndarray also has .resize)
