@@ -135,9 +135,9 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         # pre-LN; layernorm in f32
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + Attention(self.width, self.heads, self.dtype, name="attn")(h, mask)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         x = x + MLP(self.width, self.dtype, name="mlp")(h)
         return x
 
@@ -190,11 +190,11 @@ class VisionTower(nn.Module):
             (x.shape[1], c.vision_width),
         )
         x = x + pos.astype(c.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(c.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(c.dtype)
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads, c.dtype, name="transformer"
         )(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0, :])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj",
             nn.initializers.normal(stddev=c.vision_width**-0.5),
@@ -230,7 +230,7 @@ class TextTower(nn.Module):
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads, c.dtype, name="transformer"
         )(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         eot = jnp.argmax(tokens, axis=-1)
         x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
         proj = self.param(
