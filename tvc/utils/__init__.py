@@ -1,3 +1,4 @@
+from tvc.utils.checkpoint import CheckpointManager  # noqa: F401
 from tvc.utils.hardware import (  # noqa: F401
     DeviceInfo,
     HardwareDetector,
