@@ -33,3 +33,11 @@ def test_data_sharding_spec():
     mesh = create_mesh()
     s = data_sharding(mesh, ndim=3)
     assert s.spec == jax.sharding.PartitionSpec("data", None, None)
+
+
+def test_multihost_helpers():
+    from tvc.parallel.mesh import host_local_batch, initialize_multihost
+
+    n = initialize_multihost()  # single-process no-op
+    assert n == 8
+    assert host_local_batch(64) == 64  # one host -> identity

@@ -164,3 +164,18 @@ def test_sd_reference_cache(tmp_path, sd):
     r2 = gen.generate_reference_images("cached prompt")
     assert r2["cache_hit"]
     np.testing.assert_array_equal(np.stack(r1["images"]), np.stack(r2["images"]))
+
+
+def test_sd_mesh_sharded_generation_matches_single():
+    import jax
+
+    from tvc.parallel import create_mesh
+
+    mesh = create_mesh()
+    sd_m = StableDiffusionModel(SDConfig.tiny(), seed=0, mesh=mesh)
+    sd_s = StableDiffusionModel(SDConfig.tiny(), seed=0)
+    a = sd_m.generate_images_batch(["x", "y", "z", "w"], num_images=2, seed=4)
+    b = sd_s.generate_images_batch(["x", "y", "z", "w"], num_images=2, seed=4)
+    for pa, pb in zip(a, b):
+        for ia, ib in zip(pa, pb):
+            np.testing.assert_allclose(ia, ib, atol=1e-5)

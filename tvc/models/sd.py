@@ -271,11 +271,18 @@ class StableDiffusionModel:
         params: Optional[Dict] = None,
         seed: int = 0,
         text_encoder: Optional[Callable[[List[str]], Array]] = None,
+        mesh=None,
     ):
         """text_encoder: ``texts -> [B, context_len, context_dim]`` token
         states. Default: a CLIP text tower sized to context_dim (random
-        init), sharing the tvc tokenizer."""
+        init), sharing the tvc tokenizer.
+
+        mesh: optional ``jax.sharding.Mesh`` — the denoising batch
+        (prompts x images) shards over its ``data`` axis, replacing the
+        reference's replicated-SD-per-GPU manager
+        (SURVEY.md §2.2 MultiGPUSDConfig / multi_gpu_sd_manager)."""
         self.config = config or SDConfig.tiny()
+        self.mesh = mesh
         c = self.config
         self.unet = UNet(c)
         self.vae_enc = VAEEncoder(c)
@@ -384,6 +391,18 @@ class StableDiffusionModel:
             images = vae_dec.apply({"params": params["vae_dec"]}, lat / c.vae_scale)
             return jnp.clip((images + 1.0) / 2.0, 0.0, 1.0)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tvc.parallel.mesh import DATA_AXIS
+
+            repl = NamedSharding(self.mesh, P())
+            data3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+            return jax.jit(
+                sample,
+                in_shardings=(repl, data3, data3, repl),
+                out_shardings=NamedSharding(self.mesh, P(DATA_AXIS, None, None, None)),
+            )
         return jax.jit(sample)
 
     def generate_image(

@@ -93,6 +93,48 @@ def pad_to_multiple(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up: the TPU-native replacement for the reference's
+    ``init_process_group`` + MASTER_ADDR/MASTER_PORT NCCL bootstrap
+    (reference src/utils/multi_gpu_processor.py:513-532).
+
+    On TPU pods the arguments come from the environment automatically;
+    returns the global device count. Safe to call when already initialized
+    or single-process (no-op).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return len(jax.devices())
+    try:
+        kwargs = {}
+        if coordinator_address:
+            kwargs = dict(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialized
+    return len(jax.devices())
+
+
+def host_local_batch(global_batch: int) -> int:
+    """Per-host slice of a global batch (DistributedSampler role,
+    reference multi_gpu_processor.py:553-581)."""
+    import jax
+
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+    return global_batch // n
+
+
 def local_mesh_for_tests(n: int = 8, axes: Tuple[str, ...] = (DATA_AXIS,)) -> Mesh:
     """Mesh over the first ``n`` available devices (tests/dry runs)."""
     devs = jax.devices()
