@@ -22,3 +22,35 @@ Design notes (vs. reference at /root/reference):
 __version__ = "0.1.0"
 
 from tvc import core  # noqa: F401
+
+# Lazy top-level API (mirrors reference src/__init__.py exports without
+# importing heavy deps at package-import time).
+_LAZY = {
+    "CLIPModel": "tvc.models",
+    "CLIPConfig": "tvc.models",
+    "QwenModel": "tvc.models",
+    "QwenConfig": "tvc.models",
+    "StableDiffusionModel": "tvc.models",
+    "SDConfig": "tvc.models",
+    "TextAugmenter": "tvc.augment",
+    "TextAugmentConfig": "tvc.augment",
+    "MultiModalRetriever": "tvc.retrieval",
+    "RetrievalConfig": "tvc.retrieval",
+    "AdversarialDetector": "tvc.detector",
+    "DetectorConfig": "tvc.detector",
+    "EnsembleDetector": "tvc.detector",
+    "MultiModalDetectionPipeline": "tvc.pipeline",
+    "DefensePipeline": "tvc.pipeline",
+    "PipelineConfig": "tvc.pipeline",
+    "SDReferenceGenerator": "tvc.sd_ref",
+    "EmbeddingBank": "tvc.bank",
+    "ReferenceBank": "tvc.bank",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'tvc' has no attribute {name!r}")

@@ -120,11 +120,22 @@ class FourScenariosExperiment:
         res = self.pipeline.process_batch(images, list(texts))
         defense_time = time.time() - t0
         fpr = float(res.is_adversarial.mean())
+        # retrieval precision preserved under defense (reference README
+        # table "97.9% avg"): retrieval accuracy over the clean queries the
+        # defense does NOT flag (flagged queries are dropped from serving)
+        keep = ~res.is_adversarial
+        if keep.any():
+            kept_acc = self._retrieval_accuracy(
+                images[keep], [t for t, k in zip(texts, keep) if k]
+            )
+        else:
+            kept_acc = 0.0
         return {
             "false_positive_rate": fpr,
             "defense_time": defense_time,
             "defense_overhead": (defense_time - baseline_time) / max(defense_time, 1e-9),
             "mean_clean_score": float(res.scores.mean()),
+            "retrieval_precision_preserved": kept_acc,
         }
 
     def scenario_4_attack_with_defense(
