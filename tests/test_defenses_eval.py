@@ -222,3 +222,14 @@ def test_experiment_logger(tmp_path):
     assert rec["status"] == "completed"
     assert rec["metrics"]["step_1"]["auroc"] == 0.9
     assert "/tmp/x.png" in rec["artifacts"]
+
+
+def test_device_monitor():
+    import time
+
+    from tvc.utils import DeviceMonitor
+
+    with DeviceMonitor(interval_s=0.05) as mon:
+        time.sleep(0.2)
+    s = mon.summary()
+    assert "samples" in s  # CPU backend may report no memory stats

@@ -1,6 +1,7 @@
 from tvc.utils.checkpoint import CheckpointManager  # noqa: F401
 from tvc.utils.hardware import (  # noqa: F401
     DeviceInfo,
+    DeviceMonitor,
     HardwareDetector,
     SystemInfo,
     detect_and_configure,

@@ -14,6 +14,8 @@ import os
 import platform
 from typing import Any, Callable, Dict, List, Optional
 
+import numpy as np
+
 
 @dataclasses.dataclass
 class DeviceInfo:
@@ -116,6 +118,60 @@ def device_memory_stats(device=None) -> Dict[str, int]:
         return dict(d.memory_stats() or {})
     except Exception:
         return {}
+
+
+class DeviceMonitor:
+    """Background HBM polling (GPUMonitor role, reference
+    cuda_utils.py:167+). Samples ``memory_stats`` of each device on an
+    interval; ``summary()`` reports peak/current usage."""
+
+    def __init__(self, interval_s: float = 1.0):
+        import threading
+
+        self.interval_s = interval_s
+        self._samples: List[Dict[str, int]] = []
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    def _poll(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            stats = device_memory_stats()
+            if stats:
+                with self._lock:
+                    self._samples.append(stats)
+
+    def start(self) -> "DeviceMonitor":
+        import threading
+
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._poll, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+    def __enter__(self) -> "DeviceMonitor":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def summary(self) -> Dict[str, Any]:
+        with self._lock:
+            samples = list(self._samples)
+        if not samples:
+            return {"samples": 0}
+        in_use = [s.get("bytes_in_use", 0) for s in samples]
+        return {
+            "samples": len(samples),
+            "peak_bytes_in_use": max(in_use),
+            "mean_bytes_in_use": int(np.mean(in_use)) if in_use else 0,
+            "limit": samples[-1].get("bytes_limit"),
+        }
 
 
 def optimize_batch_size(
