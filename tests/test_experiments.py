@@ -70,3 +70,24 @@ def test_unknown_attack_raises(setup):
     exp = FourScenariosExperiment(clip, pipe, FourScenariosConfig(attacks=("bad",), save_results=False))
     with pytest.raises(ValueError):
         exp._make_attacker("bad")
+
+
+def test_retrieval_quality_mode(tmp_path):
+    from tvc.experiments.harness import ExperimentHarness, HarnessConfig
+
+    h = ExperimentHarness(
+        HarnessConfig(
+            experiment_mode="retrieval_quality",
+            num_samples=8,
+            clip_model="tiny",
+            bank_size=64,
+            output_dir=str(tmp_path),
+        )
+    )
+    out = h.run()
+    rq = out["retrieval_quality"]
+    assert "clean" in rq and "text_attacked" in rq
+    # paired image should rank reasonably for its own caption with a tiny
+    # random model this is weak, but R@50 over 64 items must be high
+    assert rq["clean"]["recall_at_k"]["50"] >= 0.5
+    assert 0.0 <= rq["clean"]["MRR"] <= 1.0

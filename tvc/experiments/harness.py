@@ -345,6 +345,46 @@ class ExperimentHarness:
             "num_samples": n,
         }
 
+    def run_retrieval_quality(self) -> Dict[str, Any]:
+        """Text->image retrieval quality over a paired bank: R@K / NDCG /
+        mAP / MRR (reference RetrievalEvaluator usage, metrics.py:379-448),
+        clean vs attacked queries."""
+        # bank = the eval images themselves + distractors; relevant item for
+        # query i is image i
+        clip_cfg = self.model.config
+        distractors = np.random.default_rng(self.config.seed + 1).normal(
+            size=(max(self.config.bank_size - len(self.texts), 0), clip_cfg.embed_dim)
+        ).astype(np.float32)
+        img_emb = np.asarray(self.model.encode_image(self.images))
+        bank = np.concatenate([img_emb, distractors])
+        retriever = MultiModalRetriever(self.model, RetrievalConfig(top_k=50))
+        retriever.build_image_index(embeddings=bank)
+
+        from tvc.metrics import RetrievalEvaluator
+
+        def eval_queries(texts):
+            sims = retriever.compute_similarity_matrix(list(texts))
+            ranked = np.argsort(-sims, axis=1)
+            relevant = [{i} for i in range(len(texts))]
+            m = RetrievalEvaluator.evaluate_from_ranks(ranked, relevant)
+            return {
+                "recall_at_k": {str(k): v for k, v in m.recall_at_k.items()},
+                "ndcg_at_k": {str(k): v for k, v in m.ndcg_at_k.items()},
+                "mAP": m.mean_average_precision,
+                "MRR": m.mean_reciprocal_rank,
+            }
+
+        out = {"clean": eval_queries(self.texts)}
+        # attacked images perturb the *image* side; attacked-text queries
+        # come from the text attack
+        from tvc.attacks import TextAttackConfig, TextAttacker
+
+        adv_texts = TextAttacker(
+            self.model, TextAttackConfig(min_text_similarity=0.0)
+        ).attack(list(self.images), list(self.texts)).adv_texts
+        out["text_attacked"] = eval_queries(adv_texts)
+        return {"retrieval_quality": out}
+
     def run_comprehensive(self) -> Dict[str, Any]:
         out = {}
         out.update({"four_scenarios": self.run_four_scenarios()})
@@ -361,6 +401,7 @@ class ExperimentHarness:
         "baseline_comparison": run_baseline_comparison,
         "ablation_study": run_ablation_study,
         "efficiency_analysis": run_efficiency_analysis,
+        "retrieval_quality": run_retrieval_quality,
         "comprehensive": run_comprehensive,
     }
 
