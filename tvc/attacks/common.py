@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from tvc.core.similarity import cosine_similarity, l2_normalize
+from tvc.core.similarity import l2_normalize
 from tvc.models.clip import CLIPModel, normalize_pixels
 
 # success thresholds (reference src/attacks/pgd_attack.py:536-541)

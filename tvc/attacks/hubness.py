@@ -32,7 +32,6 @@ from tvc.attacks.common import (
     linf_project,
     make_encoder,
     prepare_images,
-    result_from_device,
 )
 from tvc.core.similarity import l2_normalize
 from tvc.models.clip import CLIPModel

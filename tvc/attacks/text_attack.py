@@ -21,7 +21,6 @@ exercisable without downloads.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -25,7 +25,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from tvc.attacks.text_attack import BUILTIN_SYNONYMS, STOPWORDS, get_synonyms
+from tvc.attacks.text_attack import STOPWORDS, get_synonyms
 
 
 @dataclasses.dataclass

@@ -20,7 +20,7 @@ import json
 import threading
 from pathlib import Path
 from queue import Queue
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -24,7 +24,6 @@ import numpy as np
 from tvc.augment import TextAugmentConfig, TextAugmenter
 from tvc.config import ConfigLoader
 from tvc.data import DataConfig, DataLoaderManager
-from tvc.detector import DetectorConfig
 from tvc.experiments.four_scenarios import FourScenariosConfig, FourScenariosExperiment
 from tvc.metrics import DetectionEvaluator
 from tvc.models import CLIPConfig, CLIPModel

@@ -9,11 +9,8 @@ significance :205-390).
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import time
-from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 

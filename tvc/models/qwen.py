@@ -16,7 +16,6 @@ init). The tokenizer loads Qwen's vocab.json+merges.txt when present
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax

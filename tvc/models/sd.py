@@ -306,7 +306,7 @@ class StableDiffusionModel:
         self.stats = {"images_generated": 0, "batches": 0}
 
     def _default_text_encoder(self, seed: int):
-        from tvc.models.clip import CLIPConfig, TextTower
+        from tvc.models.clip import CLIPConfig
         from tvc.models.tokenizer import HashTokenizer
 
         c = self.config

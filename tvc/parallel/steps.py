@@ -18,7 +18,7 @@ Both run identically on a real TPU slice and on the virtual CPU mesh
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
