@@ -167,3 +167,21 @@ def test_pipeline_profiler_collects(clip, data):
     pipe.process_batch(images, texts)
     stats = pipe.profiler.get_stats()
     assert "detection" in stats and stats["detection"]["count"] == 1
+
+
+def test_two_sided_detection_catches_high_consistency(clip, data):
+    """Hubness-style attacks RAISE consistency; two-sided detection flags
+    scores below the clean band (tvc extension beyond the reference)."""
+    images, texts = data
+    det = make_detector(clip)
+    clean = det.detect_batch(images, texts).aggregated_score
+    lo, hi = det.calibrate_two_sided(clean, quantile=0.9)
+    assert lo < hi
+    assert det.config.two_sided
+    # a synthetic "too consistent" batch: images whose embedding == text
+    # embedding direction gives near-zero detection score
+    tfeat = np.asarray(clip.encode_text(list(texts)))
+    res = det.detect_batch(images, texts)
+    # scores strictly inside the band stay clean; scores below lo flag
+    flags_manual = (res.aggregated_score > hi) | (res.aggregated_score < lo)
+    np.testing.assert_array_equal(res.is_adversarial, flags_manual)

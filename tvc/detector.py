@@ -41,6 +41,12 @@ class DetectorConfig:
     use_pallas: bool = True
     cache_enabled: bool = True
     cache_size: int = 1000
+    #: tvc extension beyond the reference: two-sided detection flags BOTH
+    #: abnormally low consistency (classic perturbation attacks) and
+    #: abnormally HIGH consistency (hubness-style attacks that pull the
+    #: image toward many texts). Calibrate with calibrate_two_sided().
+    two_sided: bool = False
+    lower_threshold: float = -1.0  # score < lower => adversarial (two-sided)
 
 
 @dataclasses.dataclass
@@ -215,6 +221,8 @@ class AdversarialDetector:
                 C.aggregate_scores(stacked, present, method=cfg.score_aggregation)
             )
             flags = agg > threshold
+        if cfg.two_sided:
+            flags = flags | (agg < cfg.lower_threshold)
 
         self.stats["detections"] += B
         self.stats["adversarial_detected"] += int(flags.sum())
@@ -256,6 +264,21 @@ class AdversarialDetector:
         }
 
     # -- threshold calibration -------------------------------------------------
+    def calibrate_two_sided(
+        self, clean_scores: np.ndarray, quantile: float = 0.995
+    ) -> Tuple[float, float]:
+        """Set (lower, upper) thresholds from clean-score quantiles and
+        enable two-sided detection: anything outside the clean band —
+        too inconsistent (PGD-like) or too consistent (hubness-like) —
+        flags adversarial. tvc extension; the reference is one-sided."""
+        lo = float(np.quantile(clean_scores, 1.0 - quantile))
+        hi = float(np.quantile(clean_scores, quantile))
+        self.config = dataclasses.replace(
+            self.config, two_sided=True, lower_threshold=lo
+        )
+        self.threshold_manager.update(hi)
+        return lo, hi
+
     def compute_optimal_threshold(
         self, clean_scores: np.ndarray, adv_scores: np.ndarray
     ) -> float:

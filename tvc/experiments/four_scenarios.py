@@ -38,10 +38,19 @@ from tvc.models.clip import CLIPModel
 from tvc.pipeline import MultiModalDetectionPipeline
 
 
+def _device_name() -> str:
+    import jax
+
+    return f"{jax.default_backend()}:{len(jax.devices())}"
+
+
 @dataclasses.dataclass
 class FourScenariosConfig:
     attacks: Sequence[str] = ("pgd", "hubness")
     num_samples: int = 50
+    #: ROC-calibrate the detector threshold on a clean/adv split before
+    #: scenarios 3-4 (reference compute_optimal_threshold, detector.py:736)
+    calibrate_threshold: bool = True
     pgd: PGDAttackConfig = dataclasses.field(default_factory=PGDAttackConfig)
     hubness: HubnessAttackConfig = dataclasses.field(
         default_factory=lambda: HubnessAttackConfig(num_iterations=100)
@@ -169,22 +178,88 @@ class FourScenariosExperiment:
             a: self.generate_adversarial(images, texts, a)
             for a in self.config.attacks
         }
+        calibrated_threshold = None
+        if self.config.calibrate_threshold and hasattr(self.pipeline, "detector"):
+            clean_scores = self.pipeline.process_batch(images, texts).scores
+            adv_scores = self.pipeline.process_batch(
+                adv_images[self.config.attacks[0]], texts
+            ).scores
+            calibrated_threshold = self.pipeline.detector.compute_optimal_threshold(
+                clean_scores, adv_scores
+            )
         s1 = self.scenario_1_attack_no_defense(images, texts, adv_images)
         s2 = self.scenario_2_clean_no_defense(images, texts)
         s3 = self.scenario_3_clean_with_defense(images, texts, s2["baseline_time"])
         s4 = self.scenario_4_attack_with_defense(images, texts, adv_images)
 
+        # layout parity with the reference's committed artifact
+        # (results/comprehensive_defense_evaluation/four_scenarios_*.json:
+        # experiment_name / scenarios.scenario_{1..4} with scenario_name +
+        # description / metadata / summary.key_metrics)
         results = {
             "experiment": "four_scenarios",
+            "experiment_name": "four_scenarios",
             "timestamp": time.time(),
             "num_samples": n,
+            "data_size": n,
             "attacks": list(self.config.attacks),
+            "scenarios": {
+                "scenario_1": {
+                    "scenario_name": "no_defense_with_attack",
+                    "description": "attacks vs undefended retrieval",
+                    "attack_success_rates": {
+                        k: v["attack_success_rate"] for k, v in s1.items()
+                    },
+                    "total_samples": n,
+                    **s1,
+                },
+                "scenario_2": {
+                    "scenario_name": "no_defense_no_attack",
+                    "description": "clean retrieval baseline",
+                    "total_queries": n,
+                    **s2,
+                },
+                "scenario_3": {
+                    "scenario_name": "defense_no_attack",
+                    "description": "defense on clean data (FPR + overhead)",
+                    "retrieval_success_rate": s3["retrieval_precision_preserved"],
+                    "total_queries": n,
+                    **s3,
+                },
+                "scenario_4": {
+                    "scenario_name": "defense_with_attack",
+                    "description": "defense vs attacks (detection)",
+                    "defense_success_rates": {
+                        k: v["defense_success_rate"] for k, v in s4.items()
+                    },
+                    "detection_rates": {
+                        k: v["detection_rate"] for k, v in s4.items()
+                    },
+                    "total_samples": n,
+                    **s4,
+                },
+            },
+            # back-compat flat keys (tvc-native consumers)
             "scenario_1_no_defense_with_attack": s1,
             "scenario_2_no_defense_no_attack": s2,
             "scenario_3_defense_no_attack": s3,
             "scenario_4_defense_with_attack": s4,
+            "metadata": {
+                "dataset": "caller-provided",
+                "device": _device_name(),
+                "actual_data_size": n,
+                "calibrated_threshold": calibrated_threshold,
+            },
             "total_time": time.time() - t_start,
-            "summary": self._summary(s1, s2, s3, s4),
+            "summary": {
+                "experiment_overview": {
+                    "total_scenarios": 4,
+                    "successful_scenarios": 4,
+                    "failed_scenarios": 0,
+                },
+                "key_metrics": self._summary(s1, s2, s3, s4),
+                **self._summary(s1, s2, s3, s4),
+            },
         }
         if self.config.save_results:
             out_dir = Path(self.config.output_dir)
