@@ -51,6 +51,9 @@ class FourScenariosConfig:
     #: ROC-calibrate the detector threshold on a clean/adv split before
     #: scenarios 3-4 (reference compute_optimal_threshold, detector.py:736)
     calibrate_threshold: bool = True
+    #: also calibrate a LOWER clean-band threshold (tvc two-sided extension:
+    #: catches hubness-style too-consistent attacks)
+    two_sided: bool = True
     pgd: PGDAttackConfig = dataclasses.field(default_factory=PGDAttackConfig)
     hubness: HubnessAttackConfig = dataclasses.field(
         default_factory=lambda: HubnessAttackConfig(num_iterations=100)
@@ -187,6 +190,13 @@ class FourScenariosExperiment:
             calibrated_threshold = self.pipeline.detector.compute_optimal_threshold(
                 clean_scores, adv_scores
             )
+            if self.config.two_sided:
+                lo, _ = self.pipeline.detector.calibrate_two_sided(
+                    clean_scores, quantile=0.98
+                )
+                # keep the Youden upper threshold, add the clean lower band
+                self.pipeline.detector.threshold_manager.update(calibrated_threshold)
+                calibrated_threshold = {"upper": calibrated_threshold, "lower": lo}
         s1 = self.scenario_1_attack_no_defense(images, texts, adv_images)
         s2 = self.scenario_2_clean_no_defense(images, texts)
         s3 = self.scenario_3_clean_with_defense(images, texts, s2["baseline_time"])
