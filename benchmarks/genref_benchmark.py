@@ -67,7 +67,7 @@ def main():
     results["sd_image_size"] = sd_cfg.image_size
 
     # --- Qwen ---
-    qw = QwenModel(qw_cfg, seed=0, max_new_tokens=32)
+    qw = QwenModel(qw_cfg, seed=0, max_new_tokens=32, cast_params_bf16=True)
     t0 = time.time()
     qw.generate_paraphrases("a cat sat on a mat near the window", num_paraphrases=args.batch)
     results["qwen_compile_plus_first_s"] = round(time.time() - t0, 2)

@@ -221,7 +221,10 @@ class QwenModel:
         seed: int = 0,
         tokenizer: Optional[Callable] = None,
         max_new_tokens: int = 32,
+        cast_params_bf16: bool = False,
     ):
+        """cast_params_bf16: store matrix params in bf16 (halves HBM reads
+        per decode step; norms/biases stay f32). Recommended for inference."""
         self.config = config or QwenConfig.tiny()
         self.module = QwenLM(self.config)
         self.max_new_tokens = max_new_tokens
@@ -233,6 +236,11 @@ class QwenModel:
             params = self.module.init(jax.random.PRNGKey(seed), dummy, pos, mask)[
                 "params"
             ]
+        if cast_params_bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if getattr(x, "ndim", 0) >= 2 else x,
+                params,
+            )
         self.params = params
         if tokenizer is None:
             from tvc.models.tokenizer import get_tokenizer
@@ -320,9 +328,13 @@ class QwenModel:
     ) -> List[str]:
         """Batched prompt -> continuation decode."""
         tok = self.tokenizer(prompts)  # [B, ctx] padded
-        # truncate to the longest real prompt (static per (len, batch) pair)
+        # truncate to the longest real prompt, bucketed to a multiple of 8 so
+        # nearby prompt lengths reuse one compiled decode program
         lengths = (tok != getattr(self.tokenizer, "pad_id", 0)).sum(axis=1)
-        plen = int(min(max(int(lengths.max()), 4), self.config.max_seq_len - self.max_new_tokens))
+        plen = min(
+            -(-max(int(lengths.max()), 4) // 8) * 8,
+            self.config.max_seq_len - self.max_new_tokens,
+        )
         tok = tok[:, :plen]
         key_shape = (plen, tok.shape[0])
         if self._decode_fn is None or self._decode_fn[0] != key_shape:
