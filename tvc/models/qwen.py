@@ -262,9 +262,13 @@ class QwenModel:
         module = self.module
         eot = getattr(self.tokenizer, "eot_id", -1)
 
-        def decode(params, prompt_tokens, key, temperature):
+        def decode(params, prompt_tokens, lengths, key, temperature):
+            """lengths [B]: real (un-padded) prompt lengths <= prompt_len.
+            Cache slots [0, plen) hold the padded prompt; generated tokens
+            occupy [plen, S). Pad slots are masked out of attention; RoPE
+            positions of generated tokens continue per-sample from the real
+            prompt end."""
             B = prompt_tokens.shape[0]
-            # ---- prefill: one cached forward over the padded prompt
             positions = jnp.broadcast_to(jnp.arange(prompt_len), (B, prompt_len))
             head_dim = c.hidden_size // c.num_heads
             caches = [
@@ -274,16 +278,20 @@ class QwenModel:
                 )
                 for _ in range(c.num_layers)
             ]
+            ks = jnp.arange(S)
+            # [B, 1, plen, S]: causal over the real prompt only
             prefill_mask = jnp.where(
-                (jnp.arange(S)[None, :] <= jnp.arange(prompt_len)[:, None])
-                & (jnp.arange(S)[None, :] < prompt_len),
+                (ks[None, None, None, :] <= jnp.arange(prompt_len)[None, None, :, None])
+                & (ks[None, None, None, :] < lengths[:, None, None, None]),
                 0.0,
                 -jnp.inf,
-            )[None, None]  # [1, 1, plen, S]
+            )
             logits, caches = module.apply(
                 {"params": params}, prompt_tokens, positions, prefill_mask, caches, 0
             )
-            next_logits = logits[:, -1]  # [B, vocab]
+            next_logits = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]  # [B, vocab] at each sample's last real token
 
             def sample(lg, k):
                 return jax.lax.cond(
@@ -292,29 +300,30 @@ class QwenModel:
                     lambda: jnp.argmax(lg, axis=-1),
                 )
 
-            def step(carry, _):
-                caches, next_logits, pos, key, done = carry
+            def step(carry, i):
+                caches, next_logits, key, done = carry
                 key, sk = jax.random.split(key)
                 tok = sample(next_logits, sk)  # [B]
                 tok = jnp.where(done, eot, tok)
                 done = done | (tok == eot)
-                positions = pos[:, None]
-                step_mask = jnp.where(
-                    jnp.arange(S)[None, None, None, :] <= pos[0], 0.0, -jnp.inf
+                cache_pos = prompt_len + i  # uniform cache slot
+                positions = (lengths + i)[:, None]  # per-sample RoPE position
+                # keys valid: real prompt [0, len_b) or generated [plen, cache_pos]
+                valid = (ks[None, :] < lengths[:, None]) | (
+                    (ks[None, :] >= prompt_len) & (ks[None, :] <= cache_pos)
                 )
+                step_mask = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
                 logits, caches = module.apply(
                     {"params": params}, tok[:, None], positions, step_mask,
-                    caches, pos[0],
+                    caches, cache_pos,
                 )
-                return (caches, logits[:, 0], pos + 1, key, done), tok
+                return (caches, logits[:, 0], key, done), tok
 
-            pos0 = jnp.full((B,), prompt_len, jnp.int32)
             done0 = jnp.zeros((B,), bool)
-            (_, _, _, _, _), tokens = jax.lax.scan(
+            (_, _, _, _), tokens = jax.lax.scan(
                 step,
-                (caches, next_logits, pos0, key, done0),
-                None,
-                length=self.max_new_tokens,
+                (caches, next_logits, key, done0),
+                jnp.arange(self.max_new_tokens),
             )
             return tokens.T  # [B, max_new_tokens]
 
@@ -342,6 +351,7 @@ class QwenModel:
         out = self._decode_fn[1](
             self.params,
             jnp.asarray(tok),
+            jnp.asarray(np.minimum(lengths, plen), jnp.int32),
             jax.random.PRNGKey(seed),
             jnp.asarray(temperature, jnp.float32),
         )
