@@ -52,3 +52,13 @@ def test_tp_forward_matches_single_device(model, mesh):
     mask = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -jnp.inf)[None, None]
     want, _ = model.module.apply({"params": model.params}, tokens, positions, mask)
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_tp_qwen_decode_matches_single_device(mesh):
+    """Full KV-cached decode with TP-sharded params == unsharded decode."""
+    single = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=6)
+    tp = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=6, mesh=mesh)
+    prompts = ["a cat sat on the mat", "two dogs run"]
+    a = single.generate(prompts, temperature=0.0)
+    b = tp.generate(prompts, temperature=0.0)
+    assert a == b

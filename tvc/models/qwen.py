@@ -222,9 +222,14 @@ class QwenModel:
         tokenizer: Optional[Callable] = None,
         max_new_tokens: int = 32,
         cast_params_bf16: bool = False,
+        mesh=None,
     ):
         """cast_params_bf16: store matrix params in bf16 (halves HBM reads
-        per decode step; norms/biases stay f32). Recommended for inference."""
+        per decode step; norms/biases stay f32). Recommended for inference.
+
+        mesh: optional Mesh with a 'model' axis — params get Megatron-layout
+        tensor-parallel shardings (tvc/parallel/tp.py) and the decode
+        program runs TP (required for Qwen2-7B on 16 GB chips)."""
         self.config = config or QwenConfig.tiny()
         self.module = QwenLM(self.config)
         self.max_new_tokens = max_new_tokens
@@ -241,6 +246,11 @@ class QwenModel:
                 lambda x: x.astype(jnp.bfloat16) if getattr(x, "ndim", 0) >= 2 else x,
                 params,
             )
+        if mesh is not None:
+            from tvc.parallel.tp import shard_qwen_params
+
+            params = shard_qwen_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         if tokenizer is None:
             from tvc.models.tokenizer import get_tokenizer
