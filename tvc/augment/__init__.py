@@ -1,4 +1,5 @@
 from tvc.augment.text_augment import (  # noqa: F401
+    BackTranslator,
     ParaphraseGenerator,
     SynonymReplacer,
     SyntaxTransformer,

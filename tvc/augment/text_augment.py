@@ -146,6 +146,38 @@ class TemplateAugmenter:
         return [t.format(lowered) for t in TEMPLATES[:num_variants]]
 
 
+class BackTranslator:
+    """Round-trip translation variants (reference src/text_augment.py:380-460
+    uses Helsinki-NLP HF pipelines, disabled by default). The translator is
+    injected (``(texts, src, dst) -> list[str]``) — the zero-egress default
+    environment has no translation weights, so this strategy stays inactive
+    unless a backend is provided."""
+
+    def __init__(
+        self,
+        config: "TextAugmentConfig",
+        translator: Optional[Callable[[List[str], str, str], List[str]]] = None,
+        languages: Sequence[str] = ("de", "fr", "es"),
+    ):
+        self.config = config
+        self.translator = translator
+        self.languages = list(languages)
+
+    def augment(self, text: str, num_variants: int) -> List[str]:
+        if self.translator is None:
+            return []
+        out = []
+        for lang in self.languages[:num_variants]:
+            try:
+                fwd = self.translator([text], "en", lang)
+                back = self.translator(fwd, lang, "en")
+                if back and back[0].strip():
+                    out.append(back[0].strip())
+            except Exception:
+                continue
+        return out
+
+
 class ParaphraseGenerator:
     """LLM paraphrases via an injected generator (reference :269-319 uses
     QwenModel.generate_paraphrases; tvc/models/qwen.py provides the JAX
@@ -177,6 +209,7 @@ class TextAugmenter:
         config: Optional[TextAugmentConfig] = None,
         paraphrase_generator: Optional[Callable[[str, int], List[str]]] = None,
         clip_model=None,
+        translator: Optional[Callable[[List[str], str, str], List[str]]] = None,
     ):
         self.config = config or TextAugmentConfig()
         self.clip_model = clip_model  # optional: semantic filter/ranking
@@ -190,6 +223,10 @@ class TextAugmenter:
         if self.config.enable_paraphrase_generation:
             self.strategies["paraphrase"] = ParaphraseGenerator(
                 self.config, paraphrase_generator
+            )
+        if self.config.enable_back_translation:
+            self.strategies["back_translation"] = BackTranslator(
+                self.config, translator
             )
         self.stats = {"calls": 0, "variants_generated": 0, "variants_filtered": 0}
 

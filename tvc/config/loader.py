@@ -171,6 +171,19 @@ class Config:
         self._config = deep_merge(self._config, exp)
         return self._config
 
+    # typed accessors (reference src/config.py:206-240)
+    def get_dataset_config(self) -> Dict[str, Any]:
+        return dict(self.get("data", {}) or {})
+
+    def get_attack_config(self) -> Dict[str, Any]:
+        return dict(self.get("attack", {}) or {})
+
+    def get_defense_config(self) -> Dict[str, Any]:
+        return dict(self.get("defense", {}) or {})
+
+    def get_model_config(self, name: str = "clip") -> Dict[str, Any]:
+        return dict(self.get(f"models.{name}", {}) or {})
+
     def validate(self) -> None:
         """Minimal invariant checks (reference: src/config.py:330-340)."""
         batch = self.get("batch.default_size", 32)
