@@ -39,14 +39,18 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend} devices: {jax.devices()}")
 
+    import dataclasses
+
     small = "--small" in sys.argv
-    cfg = CLIPConfig.tiny() if small else CLIPConfig()
+    cfg = CLIPConfig.tiny() if small else dataclasses.replace(
+        CLIPConfig(), fused_attention=True
+    )
     B = 64 if small else 256
     V = 6
     K = 10
     BANK_N = 4096 if small else 131072
     model = CLIPModel(cfg, seed=0)
-    module = model.module
+    module = model.inference_module
     D = cfg.embed_dim
 
     key = jax.random.PRNGKey(0)
@@ -173,9 +177,11 @@ def main():
     n_adv = min(B, 64)
     atk_cfg = PGDAttackConfig(num_steps=10)
 
+    grad_module = model.module  # einsum attention (fused kernel has no VJP)
+
     def encode(p, px):
         return l2_normalize(
-            module.apply(
+            grad_module.apply(
                 {"params": p}, normalize_pixels(px), method=CLIPModule.encode_image
             )
         )

@@ -82,3 +82,26 @@ def test_preprocess_pil_roundtrip(clip):
     assert batch.shape == (2, clip.config.image_size, clip.config.image_size, 3)
     feats = clip.encode_image([im])
     assert feats.shape == (1, clip.config.embed_dim)
+
+
+def test_fused_attention_encode_matches_standard():
+    import dataclasses
+
+    cfg = CLIPConfig.tiny()
+    std = CLIPModel(cfg, seed=0)
+    fused = CLIPModel(dataclasses.replace(cfg, fused_attention=True), seed=0)
+    x = np.random.default_rng(4).random((3, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    a = np.asarray(std.encode_image(x))
+    b = np.asarray(fused.encode_image(x))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    # gradient path still works on the fused-configured model
+    import jax
+    import jax.numpy as jnp
+
+    tfeat = fused.encode_text(["a", "b", "c"])
+
+    def loss(px):
+        return jnp.mean(jnp.sum(fused.encode_image_tensor(normalize_pixels(px)) * tfeat, -1))
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    assert float(jnp.abs(g).max()) > 0

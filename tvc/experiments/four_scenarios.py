@@ -81,6 +81,20 @@ class FourScenariosExperiment:
             return HubnessAttack(self.model, self.config.hubness)
         if name == "fgsm":
             return FGSMAttacker(self.model)
+        if name == "cw":
+            from tvc.attacks import CWAttackConfig, CWAttacker
+
+            return CWAttacker(
+                self.model, CWAttackConfig(max_iterations=100, binary_search_steps=3)
+            )
+        if name == "fsta":
+            from tvc.attacks import FSTAAttacker
+
+            return FSTAAttacker(self.model)
+        if name == "sma":
+            from tvc.attacks import SMAAttacker
+
+            return SMAAttacker(self.model)
         raise ValueError(f"unknown attack {name!r}")
 
     def generate_adversarial(

@@ -62,6 +62,9 @@ class CLIPConfig:
     # runtime
     dtype: Any = jnp.bfloat16  # activation/matmul dtype on the MXU
     model_name: str = "ViT-B/32"
+    #: use the fused VMEM-resident MHA Pallas kernel in the vision tower
+    #: (inference only - no VJP; CLIPModel keeps the einsum path for grads)
+    fused_attention: bool = False
 
     @classmethod
     def tiny(cls) -> "CLIPConfig":
@@ -102,6 +105,7 @@ class Attention(nn.Module):
     width: int
     heads: int
     dtype: Any
+    fused: bool = False  # fused Pallas MHA (inference; mask must be None)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -109,6 +113,15 @@ class Attention(nn.Module):
         head_dim = self.width // self.heads
         qkv = nn.Dense(self.width * 3, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if self.fused and mask is None:
+            from tvc.core.pallas.attention_kernel import fused_mha
+
+            q4 = q.reshape(B, T, self.heads, head_dim)
+            k4 = k.reshape(B, T, self.heads, head_dim)
+            v4 = v.reshape(B, T, self.heads, head_dim)
+            out = fused_mha(q4, k4, v4).reshape(B, T, self.width)
+            return nn.Dense(self.width, dtype=self.dtype, name="out")(out)
 
         def heads_split(t):
             return t.reshape(B, T, self.heads, head_dim).transpose(0, 2, 1, 3)
@@ -131,12 +144,15 @@ class ResidualBlock(nn.Module):
     width: int
     heads: int
     dtype: Any
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         # pre-LN; layernorm in f32
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
-        x = x + Attention(self.width, self.heads, self.dtype, name="attn")(h, mask)
+        x = x + Attention(
+            self.width, self.heads, self.dtype, self.fused, name="attn"
+        )(h, mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         x = x + MLP(self.width, self.dtype, name="mlp")(h)
         return x
@@ -147,13 +163,14 @@ class Transformer(nn.Module):
     layers: int
     heads: int
     dtype: Any
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         for i in range(self.layers):
-            x = ResidualBlock(self.width, self.heads, self.dtype, name=f"block_{i}")(
-                x, mask
-            )
+            x = ResidualBlock(
+                self.width, self.heads, self.dtype, self.fused, name=f"block_{i}"
+            )(x, mask)
         return x
 
 
@@ -192,7 +209,8 @@ class VisionTower(nn.Module):
         x = x + pos.astype(c.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(c.dtype)
         x = Transformer(
-            c.vision_width, c.vision_layers, c.vision_heads, c.dtype, name="transformer"
+            c.vision_width, c.vision_layers, c.vision_heads, c.dtype,
+            c.fused_attention, name="transformer"
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0, :])
         proj = self.param(
@@ -360,7 +378,11 @@ class CLIPModel:
         tokenizer: Optional[Callable] = None,
     ):
         self.config = config or CLIPConfig()
-        self.module = CLIPModule(self.config)
+        # grad-safe module (einsum attention) for attacks / training; the
+        # fused-attention variant below serves inference encodes only
+        self.module = CLIPModule(
+            dataclasses.replace(self.config, fused_attention=False)
+        )
         if params is None:
             key = jax.random.PRNGKey(seed)
             dummy_img = jnp.zeros(
@@ -378,11 +400,21 @@ class CLIPModel:
             )
         self.tokenizer = tokenizer
 
+        # inference encodes use the fused-MHA vision tower when enabled
+        # (same param tree; no VJP, so gradients stay on self.module)
+        self._infer_module = CLIPModule(self.config)
+        #: public handle for building custom inference programs (fused
+        #: attention when config.fused_attention; NOT differentiable then)
+        self.inference_module = self._infer_module
         self._encode_image = jax.jit(
-            lambda p, x: self.module.apply({"params": p}, x, method=CLIPModule.encode_image)
+            lambda p, x: self._infer_module.apply(
+                {"params": p}, x, method=CLIPModule.encode_image
+            )
         )
         self._encode_text = jax.jit(
-            lambda p, t: self.module.apply({"params": p}, t, method=CLIPModule.encode_text)
+            lambda p, t: self._infer_module.apply(
+                {"params": p}, t, method=CLIPModule.encode_text
+            )
         )
 
     # -- functional core (for attacks / pipelines) --------------------------
