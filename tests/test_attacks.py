@@ -195,3 +195,58 @@ def test_text_attack_preserves_stopwords(clip):
     for i, w in enumerate(orig_words):
         if w in {"the", "is", "on"}:
             assert adv_words[i] == w
+
+
+def test_pgd_targeted_increases_target_similarity(clip, batch):
+    images, texts = batch
+    targets = ["completely different target text"] * 4
+    cfg = PGDAttackConfig(targeted=True, num_steps=10, epsilon=16 / 255, alpha=4 / 255)
+    result = PGDAttacker(clip, cfg).attack(images, texts, target_texts=targets)
+    tfeat = np.asarray(clip.encode_text(targets))
+    before = np.sum(np.asarray(clip.encode_image(images)) * tfeat, -1)
+    after = np.sum(np.asarray(clip.encode_image(result.adv_images)) * tfeat, -1)
+    assert after.mean() > before.mean()  # moved toward the target
+
+
+def test_fgsm_targeted(clip, batch):
+    images, texts = batch
+    from tvc.attacks import FGSMAttackConfig
+
+    cfg = FGSMAttackConfig(targeted=True, epsilon=8 / 255)
+    result = FGSMAttacker(clip, cfg).attack(
+        images, texts, target_texts=["another scene entirely"] * 4
+    )
+    assert result.adv_images.shape == images.shape
+
+
+def test_attack_presets_exist():
+    from tvc.attacks import (
+        CWAttackPresets,
+        FGSMAttackPresets,
+        FSTAAttackPresets,
+        HubnessAttackPresets,
+        PGDAttackPresets,
+        SMAAttackPresets,
+    )
+
+    for presets, fields in [
+        (PGDAttackPresets, ("weak", "standard", "strong")),
+        (FGSMAttackPresets, ("weak", "standard", "strong")),
+        (CWAttackPresets, ("fast", "standard", "high_confidence")),
+        (HubnessAttackPresets, ("fast", "standard", "paper")),
+        (FSTAAttackPresets, ("fast", "standard", "strong")),
+        (SMAAttackPresets, ("fast", "standard", "jpeg_robust")),
+    ]:
+        for f in fields:
+            assert getattr(presets, f)() is not None
+    # paper preset matches arXiv 2412.14113 standard setting
+    paper = HubnessAttackPresets.paper()
+    assert paper.epsilon == 16 / 255 and paper.num_iterations == 500
+    assert paper.num_target_queries == 100
+
+
+def test_hubness_config_from_dict():
+    cfg = HubnessAttackConfig.from_dict(
+        {"epsilon": 0.1, "num_iterations": 7, "bogus_key": 1}
+    )
+    assert cfg.epsilon == 0.1 and cfg.num_iterations == 7
