@@ -165,3 +165,28 @@ def analyze_main(argv: Optional[Sequence[str]] = None) -> None:
         charts=not args.no_charts
     )
     print(json.dumps(index, indent=2, default=str))
+
+
+def _module_main() -> None:
+    """``python -m tvc.cli <command>`` dispatcher (pip console scripts are
+    the primary interface; this covers no-install usage)."""
+    import sys
+
+    commands = {
+        "defense": defense_main,
+        "attack": attack_main,
+        "deploy": deploy_main,
+        "quick-start": quick_start_main,
+        "hardware-detect": hardware_detect_main,
+        "config-gen": config_gen_main,
+        "build-bank": build_bank_main,
+        "analyze": analyze_main,
+    }
+    if len(sys.argv) < 2 or sys.argv[1] not in commands:
+        print(f"usage: python -m tvc.cli {{{','.join(commands)}}} [args...]")
+        raise SystemExit(2)
+    commands[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    _module_main()
