@@ -230,4 +230,19 @@ if __name__ == "__main__":
     from pathlib import Path
 
     _sys.path.insert(0, str(Path(__file__).resolve().parent))
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit a JSON line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "defended_queries_per_sec",
+                    "value": 0.0,
+                    "unit": "queries/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            ),
+            flush=True,
+        )
+        raise
