@@ -30,9 +30,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tvc.core import consistency as C
     from tvc.core.pallas import fused_consistency_scores
-    from tvc.core.similarity import batched_set_cosine, cosine_similarity, l2_normalize
+    from tvc.core.similarity import l2_normalize
     from tvc.models import CLIPConfig, CLIPModel
     from tvc.models.clip import CLIPModule, normalize_pixels
 
