@@ -91,3 +91,32 @@ def test_retrieval_quality_mode(tmp_path):
     # random model this is weak, but R@50 over 64 items must be high
     assert rq["clean"]["recall_at_k"]["50"] >= 0.5
     assert 0.0 <= rq["clean"]["MRR"] <= 1.0
+
+
+def test_four_scenarios_reference_schema(setup, tmp_path):
+    """Output layout matches the reference's committed artifact
+    (results/comprehensive_defense_evaluation/four_scenarios_*.json)."""
+    clip, pipe, batch = setup
+    cfg = FourScenariosConfig(
+        attacks=("pgd",),
+        num_samples=4,
+        pgd=PGDAttackConfig(num_steps=3),
+        output_dir=str(tmp_path),
+        save_results=False,
+    )
+    res = FourScenariosExperiment(clip, pipe, cfg).run(batch["images"], batch["texts"])
+    # reference top-level keys
+    for key in ("experiment_name", "timestamp", "data_size", "scenarios",
+                "metadata", "summary"):
+        assert key in res, key
+    scen = res["scenarios"]
+    for i in range(1, 5):
+        s = scen[f"scenario_{i}"]
+        assert "scenario_name" in s and "description" in s
+    assert "attack_success_rates" in scen["scenario_1"]
+    assert "retrieval_accuracy" in scen["scenario_2"]
+    assert "defense_overhead" in scen["scenario_3"]
+    assert "detection_rates" in scen["scenario_4"]
+    assert "key_metrics" in res["summary"]
+    assert "experiment_overview" in res["summary"]
+    assert res["metadata"]["actual_data_size"] == 4
