@@ -120,3 +120,22 @@ def test_four_scenarios_reference_schema(setup, tmp_path):
     assert "key_metrics" in res["summary"]
     assert "experiment_overview" in res["summary"]
     assert res["metadata"]["actual_data_size"] == 4
+
+
+def test_cross_dataset_mode(tmp_path):
+    from tvc.experiments.harness import ExperimentHarness, HarnessConfig
+
+    h = ExperimentHarness(
+        HarnessConfig(
+            experiment_mode="cross_dataset",
+            num_samples=8,
+            attacks=("pgd",),
+            clip_model="tiny",
+            output_dir=str(tmp_path),
+        )
+    )
+    out = h.run()
+    cd = out["cross_dataset"]
+    assert cd["source"] == "synthetic" and cd["target"] == "synthetic"
+    assert 0.0 <= cd["auroc"] <= 1.0
+    assert 0.0 <= cd["detection_rate"] <= 1.0

@@ -384,6 +384,56 @@ class ExperimentHarness:
         out["text_attacked"] = eval_queries(adv_texts)
         return {"retrieval_quality": out}
 
+    def run_cross_dataset(self, target_dataset: Optional[str] = None) -> Dict[str, Any]:
+        """Cross-dataset generalization (reference README.md:884: AUC-ROC
+        calibrated on COCO, evaluated on Flickr30K): calibrate the detector
+        threshold on THIS dataset's clean/adv split, then measure detection
+        on a different dataset without re-calibration."""
+        pipe = self.make_pipeline()
+        attack = self.config.attacks[0]
+
+        # calibrate on the source dataset
+        adv_src = self._adv_images(attack)
+        clean_src = pipe.process_batch(self.images, list(self.texts)).scores
+        adv_src_scores = pipe.process_batch(adv_src, list(self.texts)).scores
+        thr = pipe.detector.compute_optimal_threshold(clean_src, adv_src_scores)
+
+        # target dataset (default: a disjoint synthetic split; real datasets
+        # by name when on disk)
+        tgt_name = target_dataset or (
+            "synthetic" if self.config.dataset == "synthetic" else self.config.dataset
+        )
+        mgr = DataLoaderManager(
+            DataConfig(
+                dataset=tgt_name,
+                data_dir=self.config.data_dir,
+                image_size=self.model.config.image_size,
+                max_samples=self.config.num_samples,
+                seed=self.config.seed + 1234,  # disjoint split
+            )
+        )
+        tgt = mgr.load_dataset()
+        tbatch = next(tgt.batches(batch_size=self.config.num_samples))
+        t_images, t_texts = tbatch["images"], tbatch["texts"]
+        exp = FourScenariosExperiment(self.model, pipe, self._fs_config(save=False))
+        t_adv = exp.generate_adversarial(t_images, t_texts, attack)
+
+        clean_t = pipe.process_batch(t_images, list(t_texts))
+        adv_t = pipe.process_batch(t_adv, list(t_texts))
+        labels = np.concatenate([np.zeros(len(t_texts)), np.ones(len(t_texts))])
+        scores = np.concatenate([clean_t.scores, adv_t.scores])
+        auroc = DetectionEvaluator.auroc(labels, scores)
+        return {
+            "cross_dataset": {
+                "source": self.config.dataset,
+                "target": tgt_name,
+                "calibrated_threshold": float(thr),
+                "auroc": float(auroc),
+                "detection_rate": float(adv_t.is_adversarial.mean()),
+                "false_positive_rate": float(clean_t.is_adversarial.mean()),
+            }
+        }
+
     def run_comprehensive(self) -> Dict[str, Any]:
         out = {}
         out.update({"four_scenarios": self.run_four_scenarios()})
@@ -401,6 +451,7 @@ class ExperimentHarness:
         "ablation_study": run_ablation_study,
         "efficiency_analysis": run_efficiency_analysis,
         "retrieval_quality": run_retrieval_quality,
+        "cross_dataset": run_cross_dataset,
         "comprehensive": run_comprehensive,
     }
 
