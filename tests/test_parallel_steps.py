@@ -69,6 +69,33 @@ def test_graft_entry_dryrun():
     g.dryrun_multichip(8)
 
 
+def test_graft_entry_dryrun_warmed_backend():
+    """Driver scenario: the backend is already initialized with ONE device
+    before dryrun_multichip is called — it must re-exec a CPU subprocess
+    rather than raise (the round-1 MULTICHIP failure mode)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # single CPU device
+    env.pop("TVC_DRYRUN_SUBPROCESS", None)
+    env["PYTHONPATH"] = str(repo)
+    code = (
+        "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
 def test_graft_entry_forward():
     import __graft_entry__ as g
 
