@@ -10,4 +10,5 @@ from tvc.data.loaders import (  # noqa: F401
     SyntheticDataset,
     VisualGenomeDataset,
     loader_to_list,
+    render_synthetic_image,
 )

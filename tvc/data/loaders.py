@@ -107,8 +107,79 @@ class BaseDataset:
             yield item
 
 
+#: distinct foreground colors, one per adjective (render_synthetic_image)
+_FG_COLORS = np.array(
+    [
+        [0.90, 0.10, 0.10],
+        [0.10, 0.10, 0.90],
+        [0.10, 0.80, 0.10],
+        [0.90, 0.80, 0.10],
+        [0.80, 0.10, 0.80],
+        [0.10, 0.80, 0.80],
+    ],
+    dtype=np.float32,
+)
+#: background gradient colors, one per location
+_BG_COLORS = np.array(
+    [
+        [0.20, 0.30, 0.55],
+        [0.55, 0.20, 0.30],
+        [0.30, 0.55, 0.20],
+        [0.55, 0.55, 0.20],
+        [0.20, 0.55, 0.55],
+        [0.55, 0.20, 0.55],
+    ],
+    dtype=np.float32,
+)
+
+
+def render_synthetic_image(
+    combo: Tuple[int, int, int],
+    image_size: int,
+    noise_seed: Optional[int] = None,
+    noise: float = 0.05,
+) -> np.ndarray:
+    """Deterministic caption-conditioned rendering for SyntheticDataset.
+
+    Each caption slot controls an orthogonal visual channel so the
+    text<->image correspondence is learnable by a contrastively trained
+    CLIP (tvc/fixtures.py): adjective -> foreground color, noun -> stripe
+    texture (spatial frequency + orientation), location -> background
+    gradient (direction + color). Small per-sample noise keeps image
+    statistics non-degenerate for attacks/detectors.
+    """
+    a, n, l = combo
+    s = image_size
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+    theta = np.pi * (l % 6) / 6.0
+    grad = (np.cos(theta) * xx + np.sin(theta) * yy + 1.0) / 2.4
+    bg = grad[..., None] * _BG_COLORS[l % len(_BG_COLORS)]
+    axis = xx if n % 2 == 0 else yy
+    freq = float(n // 2 + 1)
+    stripes = 0.5 + 0.5 * np.sin(2.0 * np.pi * freq * axis)
+    fg = stripes[..., None] * _FG_COLORS[a % len(_FG_COLORS)]
+    img = 0.55 * fg + 0.45 * bg
+    if noise_seed is not None and noise > 0:
+        r = np.random.default_rng(noise_seed)
+        img = img + noise * r.random((s, s, 3)).astype(np.float32)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 class SyntheticDataset(BaseDataset):
-    """Deterministic synthetic image-text pairs (test/bench fixture)."""
+    """Deterministic caption-CONDITIONED synthetic image-text pairs.
+
+    The image is a rendering of the caption's (adjective, noun, location)
+    combo — see ``render_synthetic_image`` — so pairs carry learnable
+    cross-modal structure: a CLIP fine-tuned on them (tvc/fixtures.py)
+    reaches real retrieval accuracy, making quality numbers meaningful in
+    the zero-egress environment (the reference instead depends on
+    downloaded COCO + pretrained weights for its measured 0.8875 clean
+    retrieval, results/.../four_scenarios_1754481353.json scenario_2).
+
+    Combos are drawn WITHOUT replacement while n <= num_combos() (= 288),
+    so captions are unique and retrieval ground truth is unambiguous;
+    beyond that combos repeat.
+    """
 
     CAPTION_PARTS = (
         ("a big", "a small", "an old", "a young", "a red", "a blue"),
@@ -117,31 +188,52 @@ class SyntheticDataset(BaseDataset):
          "on a table", "under the sky"),
     )
 
+    @classmethod
+    def num_combos(cls) -> int:
+        n = 1
+        for parts in cls.CAPTION_PARTS:
+            n *= len(parts)
+        return n
+
+    @classmethod
+    def all_combos(cls) -> List[Tuple[int, int, int]]:
+        import itertools
+
+        return list(
+            itertools.product(*(range(len(p)) for p in cls.CAPTION_PARTS))
+        )
+
+    @classmethod
+    def caption_for_combo(cls, combo: Tuple[int, int, int]) -> str:
+        return " ".join(
+            parts[i] for parts, i in zip(cls.CAPTION_PARTS, combo)
+        )
+
     def __init__(self, config: DataConfig, n: int = 256):
         super().__init__(config)
         rng = np.random.default_rng(config.seed)
         n = config.max_samples or n
-        self._rng_states = rng.integers(0, 2**31, size=n)
-        for i in range(n):
-            r = np.random.default_rng(int(self._rng_states[i]))
-            caption = " ".join(
-                parts[int(r.integers(len(parts)))] for parts in self.CAPTION_PARTS
+        combos = self.all_combos()
+        order = rng.permutation(len(combos))
+        self.combos: List[Tuple[int, int, int]] = [
+            combos[int(order[i % len(combos)])] for i in range(n)
+        ]
+        self._noise_seeds = rng.integers(0, 2**31, size=n)
+        for i, combo in enumerate(self.combos):
+            self.samples.append(
+                Sample(
+                    image_path=None,
+                    caption=self.caption_for_combo(combo),
+                    image_id=i,
+                )
             )
-            self.samples.append(Sample(image_path=None, caption=caption, image_id=i))
 
     def load_image(self, sample: Sample) -> np.ndarray:
-        s = self.config.image_size
-        r = np.random.default_rng(int(self._rng_states[sample.image_id]))
-        # structured random image: colored gradient + noise (not pure noise,
-        # so attacks/detectors see non-degenerate stats)
-        base = r.random(3)
-        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
-        img = np.stack(
-            [base[c] * (0.5 + 0.5 * np.sin(3 * (yy * (c + 1) + xx))) for c in range(3)],
-            axis=-1,
+        return render_synthetic_image(
+            self.combos[sample.image_id],
+            self.config.image_size,
+            noise_seed=int(self._noise_seeds[sample.image_id]),
         )
-        img = img + 0.1 * r.random((s, s, 3))
-        return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
 class COCODataset(BaseDataset):

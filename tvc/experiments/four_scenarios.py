@@ -48,6 +48,11 @@ def _device_name() -> str:
 class FourScenariosConfig:
     attacks: Sequence[str] = ("pgd", "hubness")
     num_samples: int = 50
+    #: per-attack parameter dicts from experiment YAMLs
+    #: (reference configs/attacks/*.yaml keys, filtered to config fields)
+    attack_overrides: Dict[str, Dict[str, Any]] = dataclasses.field(
+        default_factory=dict
+    )
     #: ROC-calibrate the detector threshold on a clean/adv split before
     #: scenarios 3-4 (reference compute_optimal_threshold, detector.py:736)
     calibrate_threshold: bool = True
@@ -74,27 +79,51 @@ class FourScenariosExperiment:
         self.config = config or FourScenariosConfig()
 
     # -- attack generation ----------------------------------------------------
+    def _attack_cfg(self, cls, name: str, **base):
+        """Dataclass config from base kwargs + YAML overrides (keys filtered
+        to the config's fields — the HubnessAttackConfig.from_dict pattern,
+        reference src/attacks/hubness_attack.py:101)."""
+        d = {**base, **self.config.attack_overrides.get(name, {})}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
     def _make_attacker(self, name: str):
+        overrides = self.config.attack_overrides.get(name)
         if name == "pgd":
-            return PGDAttacker(self.model, self.config.pgd)
+            cfg = (
+                self._attack_cfg(PGDAttackConfig, name)
+                if overrides
+                else self.config.pgd
+            )
+            return PGDAttacker(self.model, cfg)
         if name == "hubness":
-            return HubnessAttack(self.model, self.config.hubness)
+            cfg = (
+                HubnessAttackConfig.from_dict(overrides)
+                if overrides
+                else self.config.hubness
+            )
+            return HubnessAttack(self.model, cfg)
         if name == "fgsm":
-            return FGSMAttacker(self.model)
+            from tvc.attacks import FGSMAttackConfig
+
+            return FGSMAttacker(self.model, self._attack_cfg(FGSMAttackConfig, name))
         if name == "cw":
             from tvc.attacks import CWAttackConfig, CWAttacker
 
             return CWAttacker(
-                self.model, CWAttackConfig(max_iterations=100, binary_search_steps=3)
+                self.model,
+                self._attack_cfg(
+                    CWAttackConfig, name, max_iterations=100, binary_search_steps=3
+                ),
             )
         if name == "fsta":
-            from tvc.attacks import FSTAAttacker
+            from tvc.attacks import FSTAAttackConfig, FSTAAttacker
 
-            return FSTAAttacker(self.model)
+            return FSTAAttacker(self.model, self._attack_cfg(FSTAAttackConfig, name))
         if name == "sma":
-            from tvc.attacks import SMAAttacker
+            from tvc.attacks import SMAAttackConfig, SMAAttacker
 
-            return SMAAttacker(self.model)
+            return SMAAttacker(self.model, self._attack_cfg(SMAAttackConfig, name))
         raise ValueError(f"unknown attack {name!r}")
 
     def generate_adversarial(
@@ -127,7 +156,12 @@ class FourScenariosExperiment:
             attack_success = float(np.mean(sims < UNTARGETED_SUCCESS_SIM))
             rank_acc = self._retrieval_accuracy(adv, texts)
             out[name] = {
+                #: reference criterion: cos(adv, text) < 0.3
+                #: (src/attacks/pgd_attack.py:536-541)
                 "attack_success_rate": attack_success,
+                #: operational criterion: paired text no longer top-1 —
+                #: what "retrieval broken" actually means for serving
+                "retrieval_attack_success": 1.0 - rank_acc,
                 "mean_similarity": float(sims.mean()),
                 "retrieval_accuracy_under_attack": rank_acc,
             }
@@ -151,36 +185,65 @@ class FourScenariosExperiment:
         # defense does NOT flag (flagged queries are dropped from serving)
         keep = ~res.is_adversarial
         if keep.any():
+            # index-by-list works for ndarrays AND PIL lists (boolean-mask
+            # indexing only exists on ndarrays)
+            if isinstance(images, np.ndarray):
+                kept_images = images[keep]
+            else:
+                kept_images = [im for im, k in zip(images, keep) if k]
             kept_acc = self._retrieval_accuracy(
-                images[keep], [t for t, k in zip(texts, keep) if k]
+                kept_images, [t for t, k in zip(texts, keep) if k]
             )
         else:
             kept_acc = 0.0
         return {
             "false_positive_rate": fpr,
             "defense_time": defense_time,
-            "defense_overhead": (defense_time - baseline_time) / max(defense_time, 1e-9),
+            # relative overhead = extra time / baseline time (comparable to
+            # the reference's measured 0.246 relative overhead,
+            # results/.../four_scenarios_1754481353.json scenario_3)
+            "defense_overhead": (defense_time - baseline_time)
+            / max(baseline_time, 1e-9),
             "mean_clean_score": float(res.scores.mean()),
             "retrieval_precision_preserved": kept_acc,
         }
+
+    def _detection_scores(self, scores: np.ndarray, clean_scores: np.ndarray) -> np.ndarray:
+        """Score used for AUROC. Detection is two-sided when calibrated
+        (hubness RAISES consistency, so the raw one-sided score ranks it
+        ~0); rank by signed distance OUTSIDE the calibrated clean band so
+        the AUROC matches what the detector actually thresholds on
+        (round-1 VERDICT item 7; reference decision semantics:
+        experiments/defenses/consistency_checker.py:93)."""
+        det = getattr(self.pipeline, "detector", None)
+        if det is not None and det.config.two_sided:
+            hi = det.threshold_manager.get_threshold()
+            lo = det.config.lower_threshold
+            return np.maximum(scores - hi, lo - scores)
+        return scores
 
     def scenario_4_attack_with_defense(
         self, images, texts, adv_images: Dict[str, np.ndarray]
     ) -> Dict[str, Any]:
         out = {}
         clean_scores = self.pipeline.process_batch(images, list(texts)).scores
+        clean_det = self._detection_scores(clean_scores, clean_scores)
         for name, adv in adv_images.items():
             res = self.pipeline.process_batch(adv, list(texts))
             detection_rate = float(res.is_adversarial.mean())
             labels = np.concatenate([np.zeros(len(texts)), np.ones(len(texts))])
-            scores = np.concatenate([clean_scores, res.scores])
-            auroc = DetectionEvaluator.auroc(labels, scores)
+            raw = np.concatenate([clean_scores, res.scores])
+            det_scores = np.concatenate(
+                [clean_det, self._detection_scores(res.scores, clean_scores)]
+            )
+            auroc = DetectionEvaluator.auroc(labels, det_scores)
             out[name] = {
                 "detection_rate": detection_rate,
                 # defense success = attacks caught (reference defines defense
                 # success as 1 - post-defense ASR; detected == neutralized)
                 "defense_success_rate": detection_rate,
                 "auroc": float(auroc),
+                "auroc_one_sided": float(DetectionEvaluator.auroc(labels, raw)),
                 "mean_adv_score": float(res.scores.mean()),
             }
         return out

@@ -74,17 +74,30 @@ class RandomVariantAugmenter:
 class HarnessConfig:
     experiment_mode: str = "four_scenarios"
     dataset: str = "synthetic"
+    #: cross_dataset mode: evaluate on this dataset after calibrating on
+    #: ``dataset`` (reference README.md:884 COCO->Flickr30K). None = carve a
+    #: disjoint split of the source dataset.
+    target_dataset: Optional[str] = None
     data_dir: str = "./data"
     num_samples: int = 50
     batch_size: int = 64
     attacks: Sequence[str] = ("pgd", "hubness")
-    clip_model: str = "tiny"  # tiny | ViT-B/32
+    #: tiny_trained (quality fixture, tvc/fixtures.py) | tiny (random
+    #: weights, fastest) | ViT-B/32 (real shape; real weights via
+    #: $TVC_CLIP_WEIGHTS)
+    clip_model: str = "tiny_trained"
     use_sd: bool = False
     use_qwen: bool = False
     bank_size: int = 4096
     output_dir: str = "./results"
     seed: int = 42
     config_path: Optional[str] = None
+    #: per-attack parameter dicts (YAML attack: sections)
+    attack_overrides: Dict[str, Dict[str, Any]] = dataclasses.field(
+        default_factory=dict
+    )
+    #: defense parameters (YAML defense: section, flattened)
+    defense_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 class ExperimentHarness:
@@ -93,14 +106,20 @@ class ExperimentHarness:
     def __init__(self, config: HarnessConfig):
         self.config = config
         cfg = config
-        clip_cfg = CLIPConfig.tiny() if cfg.clip_model == "tiny" else CLIPConfig()
-        self.model = CLIPModel(clip_cfg, seed=cfg.seed)
+        if cfg.clip_model == "tiny_trained":
+            from tvc.fixtures import load_trained_tiny
+
+            self.model = load_trained_tiny(seed=cfg.seed)
+            clip_cfg = self.model.config
+        else:
+            clip_cfg = CLIPConfig.tiny() if cfg.clip_model == "tiny" else CLIPConfig()
+            self.model = CLIPModel(clip_cfg, seed=cfg.seed)
         self.logger = ExperimentLogger(
             f"{cfg.experiment_mode}_{cfg.dataset}",
             output_dir=str(Path(cfg.output_dir) / "logs"),
         )
         # data
-        mgr = DataLoaderManager(
+        self._data_mgr = mgr = DataLoaderManager(
             DataConfig(
                 dataset=cfg.dataset,
                 data_dir=cfg.data_dir,
@@ -114,15 +133,17 @@ class ExperimentHarness:
         batch = next(self.dataset.batches(batch_size=cfg.num_samples))
         self.images = batch["images"]
         self.texts = batch["texts"]
-        # retrieval bank (random embeddings stand in for a prebuilt index
-        # when no real index is on disk; build_bank.py creates real ones)
-        self.retriever = MultiModalRetriever(self.model, RetrievalConfig(top_k=5))
-        rng = np.random.default_rng(cfg.seed)
-        self.retriever.build_image_index(
-            embeddings=rng.normal(size=(cfg.bank_size, clip_cfg.embed_dim)).astype(
-                np.float32
-            )
-        )
+        # retrieval bank: ENCODED dataset images (a superset window of the
+        # eval samples, like the reference's prebuilt FAISS index over the
+        # dataset, scripts/build_faiss_indices.py) — round 1 used random
+        # normals here, making retrieval references meaningless noise.
+        top_k = int(cfg.defense_overrides.get("retrieval_top_k", 5))
+        self.retriever = MultiModalRetriever(self.model, RetrievalConfig(top_k=top_k))
+        bank_ds = mgr.load_dataset(max_samples=cfg.bank_size)
+        embs = []
+        for b in bank_ds.batches(batch_size=max(cfg.batch_size, 64)):
+            embs.append(np.asarray(self.model.encode_image(b["images"])))
+        self.retriever.build_image_index(embeddings=np.concatenate(embs))
         self.sd_generator = None
         if cfg.use_sd:
             from tvc.models.sd import SDConfig, StableDiffusionModel
@@ -160,9 +181,18 @@ class ExperimentHarness:
         augmenter = self.text_augmenter
         if random_variants:
             augmenter = RandomVariantAugmenter(seed=self.config.seed)
+        d = self.config.defense_overrides
+        pipe_cfg = PipelineConfig(
+            steps=tuple(steps),
+            batch_size=self.config.batch_size,
+            num_text_variants=int(d.get("num_text_variants", 5)),
+            retrieval_top_k=int(d.get("retrieval_top_k", 5)),
+            num_reference_images=int(d.get("num_reference_images", 3)),
+            detection_threshold=float(d.get("detection_threshold", 0.5)),
+        )
         pipe = MultiModalDetectionPipeline(
             self.model,
-            PipelineConfig(steps=tuple(steps), batch_size=self.config.batch_size),
+            pipe_cfg,
             text_augmenter=augmenter if text_variants else TextAugmenter(
                 TextAugmentConfig(
                     enable_synonym_replacement=False,
@@ -193,6 +223,15 @@ class ExperimentHarness:
                     if m != "sd_reference"
                 ),
             )
+        det_overrides = {}
+        if "weights" in d:
+            det_overrides["weights"] = tuple(d["weights"])
+        if "score_aggregation" in d:
+            det_overrides["score_aggregation"] = d["score_aggregation"]
+        if det_overrides:
+            pipe.detector.config = dataclasses.replace(
+                pipe.detector.config, **det_overrides
+            )
         return pipe
 
     def _adv_images(self, attack: str = "pgd") -> np.ndarray:
@@ -204,15 +243,26 @@ class ExperimentHarness:
     def _fs_config(self, save: bool = True) -> FourScenariosConfig:
         from tvc.attacks import HubnessAttackConfig, PGDAttackConfig
 
-        fast = self.config.clip_model == "tiny"
+        fast = self.config.clip_model.startswith("tiny")
+        ao = self.config.attack_overrides
+        pgd_base = {"num_steps": 10, **ao.get("pgd", {})}
+        hub_base = {
+            "num_iterations": 50 if fast else 500,
+            "num_target_queries": min(16, self.config.num_samples),
+            **ao.get("hubness", {}),
+        }
         return FourScenariosConfig(
             attacks=tuple(self.config.attacks),
             num_samples=self.config.num_samples,
-            pgd=PGDAttackConfig(num_steps=10),
-            hubness=HubnessAttackConfig(
-                num_iterations=50 if fast else 500,
-                num_target_queries=min(16, self.config.num_samples),
+            attack_overrides=ao,
+            pgd=PGDAttackConfig(
+                **{
+                    k: v
+                    for k, v in pgd_base.items()
+                    if k in {f.name for f in dataclasses.fields(PGDAttackConfig)}
+                }
             ),
+            hubness=HubnessAttackConfig.from_dict(hub_base),
             output_dir=str(Path(self.config.output_dir) / "four_scenarios"),
             save_results=save,
         )
@@ -398,23 +448,45 @@ class ExperimentHarness:
         adv_src_scores = pipe.process_batch(adv_src, list(self.texts)).scores
         thr = pipe.detector.compute_optimal_threshold(clean_src, adv_src_scores)
 
-        # target dataset (default: a disjoint synthetic split; real datasets
-        # by name when on disk)
-        tgt_name = target_dataset or (
-            "synthetic" if self.config.dataset == "synthetic" else self.config.dataset
-        )
-        mgr = DataLoaderManager(
-            DataConfig(
-                dataset=tgt_name,
-                data_dir=self.config.data_dir,
-                image_size=self.model.config.image_size,
-                max_samples=self.config.num_samples,
-                seed=self.config.seed + 1234,  # disjoint split
+        # target dataset (reference README.md:884: calibrate COCO, evaluate
+        # Flickr30K). Same-dataset targets get a GENUINELY disjoint window:
+        # real-dataset loaders pick samples in file order regardless of
+        # seed, so a different seed alone would re-evaluate the calibration
+        # samples (round-1 ADVICE finding).
+        n = self.config.num_samples
+        tgt_name = target_dataset or self.config.target_dataset or self.config.dataset
+        if tgt_name == self.config.dataset:
+            mgr = DataLoaderManager(
+                DataConfig(
+                    dataset=tgt_name,
+                    data_dir=self.config.data_dir,
+                    image_size=self.model.config.image_size,
+                    max_samples=2 * n,
+                    seed=self.config.seed,
+                )
             )
-        )
-        tgt = mgr.load_dataset()
-        tbatch = next(tgt.batches(batch_size=self.config.num_samples))
-        t_images, t_texts = tbatch["images"], tbatch["texts"]
+            tgt = mgr.load_dataset()
+            tbatch = next(tgt.batches(batch_size=2 * n))
+            t_images, t_texts = tbatch["images"][n:], tbatch["texts"][n:]
+            if len(t_texts) < n:
+                raise ValueError(
+                    f"dataset {tgt_name!r} has only {n + len(t_texts)} samples; "
+                    f"need {2 * n} for a disjoint same-dataset target split "
+                    "(use --target-dataset for true cross-dataset transfer)"
+                )
+        else:
+            mgr = DataLoaderManager(
+                DataConfig(
+                    dataset=tgt_name,
+                    data_dir=self.config.data_dir,
+                    image_size=self.model.config.image_size,
+                    max_samples=n,
+                    seed=self.config.seed + 1234,
+                )
+            )
+            tgt = mgr.load_dataset()
+            tbatch = next(tgt.batches(batch_size=n))
+            t_images, t_texts = tbatch["images"], tbatch["texts"]
         exp = FourScenariosExperiment(self.model, pipe, self._fs_config(save=False))
         t_adv = exp.generate_adversarial(t_images, t_texts, attack)
 
@@ -497,43 +569,117 @@ class ExperimentHarness:
         path.write_text("\n".join(lines))
 
 
+def apply_experiment_config(cfg: HarnessConfig, loaded: Dict[str, Any]) -> None:
+    """Map a RESOLVED experiment YAML (inherits/overrides applied by
+    ConfigLoader) onto the harness config — dataset, mode, sample counts,
+    attack parameters, and defense parameters all come from config, as in
+    the reference's config-first harness (reference
+    experiments/run_experiments.py:241-283, src/config.py:132-169,
+    configs/experiments/coco_pgd_full.yaml:7-43)."""
+    exp = loaded.get("experiment") or {}
+    data = loaded.get("data") or {}
+    if "dataset" in loaded:
+        cfg.dataset = loaded["dataset"]
+    elif "name" in data:
+        cfg.dataset = data["name"]
+    if "data_dir" in data:
+        cfg.data_dir = data["data_dir"]
+    elif "base_dir" in data:
+        cfg.data_dir = data["base_dir"]
+    mode = exp.get("mode")
+    if mode in ExperimentHarness.MODES:
+        cfg.experiment_mode = mode
+    if "target_dataset" in exp:
+        cfg.target_dataset = exp["target_dataset"]
+    for src in (loaded, exp):
+        if "num_samples" in src:
+            cfg.num_samples = int(src["num_samples"])
+        if "seed" in src:
+            cfg.seed = int(src["seed"])
+        if "batch_size" in src:
+            cfg.batch_size = int(src["batch_size"])
+    if "seed" in (loaded.get("experiments") or {}):
+        cfg.seed = int(loaded["experiments"]["seed"])
+    if "output_dir" in (loaded.get("experiments") or {}):
+        cfg.output_dir = loaded["experiments"]["output_dir"]
+    if "default_size" in (loaded.get("batch") or {}):
+        cfg.batch_size = int(loaded["batch"]["default_size"])
+    clip_name = ((loaded.get("models") or {}).get("clip") or {}).get("default_model")
+    if clip_name:
+        cfg.clip_model = clip_name
+
+    attack = loaded.get("attack") or {}
+    if attack.get("type"):
+        name = attack["type"]
+        cfg.attacks = (name,)
+        cfg.attack_overrides = {
+            **cfg.attack_overrides,
+            name: {k: v for k, v in attack.items() if k != "type"},
+        }
+
+    defense = loaded.get("defense") or {}
+    d: Dict[str, Any] = dict(cfg.defense_overrides)
+    tv = defense.get("text_variants") or {}
+    if "num_variants" in tv:
+        d["num_text_variants"] = int(tv["num_variants"])
+    for section in ("retrieval", "retrieval_reference"):
+        sec = defense.get(section) or {}
+        if "top_k" in sec:
+            d["retrieval_top_k"] = int(sec["top_k"])
+    for section in ("sd_reference", "generative_reference"):
+        sec = defense.get(section) or {}
+        if "num_images" in sec:
+            d["num_reference_images"] = int(sec["num_images"])
+    det = defense.get("detector") or {}
+    if "detection_threshold" in det:
+        d["detection_threshold"] = float(det["detection_threshold"])
+    if "score_aggregation" in det:
+        d["score_aggregation"] = det["score_aggregation"]
+    w = det.get("weights")
+    if isinstance(w, dict):
+        d["weights"] = (
+            float(w.get("text_variants", 0.4)),
+            float(w.get("sd_reference", 0.4)),
+            float(w.get("consistency", 0.2)),
+        )
+    elif isinstance(w, (list, tuple)):
+        d["weights"] = tuple(float(x) for x in w)
+    cfg.defense_overrides = d
+
+
 def parse_args(argv: Optional[Sequence[str]] = None) -> HarnessConfig:
-    """(reference run_experiments.py:42-238)"""
-    p = argparse.ArgumentParser(description="tvc experiment harness")
-    p.add_argument("--experiment-mode", default="four_scenarios", choices=sorted(ExperimentHarness.MODES))
-    p.add_argument("--dataset", default="synthetic")
-    p.add_argument("--data-dir", default="./data")
-    p.add_argument("--num-samples", type=int, default=50)
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--attacks", nargs="+", default=["pgd", "hubness"])
-    p.add_argument("--clip-model", default="tiny")
-    p.add_argument("--use-sd", action="store_true")
-    p.add_argument("--use-qwen", action="store_true")
-    p.add_argument("--bank-size", type=int, default=4096)
-    p.add_argument("--output-dir", default="./results")
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--config", dest="config_path", default=None)
-    args = p.parse_args(argv)
-    cfg = HarnessConfig(
-        experiment_mode=args.experiment_mode,
-        dataset=args.dataset,
-        data_dir=args.data_dir,
-        num_samples=args.num_samples,
-        batch_size=args.batch_size,
-        attacks=tuple(args.attacks),
-        clip_model=args.clip_model,
-        use_sd=args.use_sd,
-        use_qwen=args.use_qwen,
-        bank_size=args.bank_size,
-        output_dir=args.output_dir,
-        seed=args.seed,
-        config_path=args.config_path,
+    """(reference run_experiments.py:42-238). Precedence: defaults <
+    resolved --config YAML < explicitly-passed CLI flags."""
+    p = argparse.ArgumentParser(
+        description="tvc experiment harness",
+        argument_default=argparse.SUPPRESS,
     )
-    if cfg.config_path:
-        loaded = ConfigLoader().load(cfg.config_path)
-        for key in ("dataset", "num_samples", "batch_size", "seed"):
-            if key in loaded:
-                setattr(cfg, key, loaded[key])
+    p.add_argument(
+        "--experiment-mode",
+        dest="experiment_mode",
+        choices=sorted(ExperimentHarness.MODES),
+    )
+    p.add_argument("--dataset")
+    p.add_argument("--target-dataset", dest="target_dataset")
+    p.add_argument("--data-dir", dest="data_dir")
+    p.add_argument("--num-samples", dest="num_samples", type=int)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--attacks", nargs="+")
+    p.add_argument("--clip-model", dest="clip_model")
+    p.add_argument("--use-sd", dest="use_sd", action="store_true")
+    p.add_argument("--use-qwen", dest="use_qwen", action="store_true")
+    p.add_argument("--bank-size", dest="bank_size", type=int)
+    p.add_argument("--output-dir", dest="output_dir")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--config", dest="config_path")
+    ns = vars(p.parse_args(argv))
+
+    cfg = HarnessConfig()
+    if "config_path" in ns:
+        cfg.config_path = ns.pop("config_path")
+        apply_experiment_config(cfg, ConfigLoader().load(cfg.config_path))
+    for key, val in ns.items():
+        setattr(cfg, key, tuple(val) if key == "attacks" else val)
     return cfg
 
 

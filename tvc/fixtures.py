@@ -1,0 +1,235 @@
+"""Trained tiny-CLIP quality fixture.
+
+Round-1 gap: every detection-quality number was measured with RANDOM
+weights, so "matching AUROC" against the reference's measured artifact
+(reference results/comprehensive_defense_evaluation/
+four_scenarios_1754481353.json: clean retrieval 0.8875, detection rate
+0.895/0.790) was unsubstantiated. This module closes that gap without
+egress: it contrastively fine-tunes the tiny CLIP (``CLIPConfig.tiny``)
+on the caption-conditioned synthetic dataset (``tvc.data.loaders.
+render_synthetic_image``) until clean text->image retrieval accuracy is
+high, then checkpoints the params under ``tvc/assets/``. The experiment
+harness and four-scenarios protocol load this fixture by default, so
+AUROC / ASR / FPR columns are produced by a model whose retrieval
+actually works — comparable in kind to the reference's README.md:874-884
+table (which uses pretrained ViT-B/32 on COCO).
+
+Training detail that matters for the DEFENSE: caption augmentation folds
+in the same transforms the TextAugmenter applies at detection time
+(template wrapping, builtin-synonym substitution — tvc/augment/
+text_augment.py), so text variants of a caption embed near the original.
+Real CLIP gets this property from web-scale pretraining; the TVC defense
+relies on it (reference src/detector.py:441-485 scores variants against
+the query image).
+
+Training runs through ``make_train_step`` (the SPMD training step,
+tvc/parallel/steps.py) on a single-device mesh — the same program that
+scales over a real TPU slice.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+ASSET_DIR = Path(__file__).resolve().parent / "assets"
+FIXTURE_PATH = ASSET_DIR / "clip_tiny_synthetic.msgpack"
+FIXTURE_META_PATH = ASSET_DIR / "clip_tiny_synthetic.json"
+
+#: template phrasings the TextAugmenter applies (tvc/augment/text_augment.py
+#: TEMPLATES) — trained in so template variants embed near the original
+_TRAIN_TEMPLATES = (
+    "a photo of {}",
+    "an image showing {}",
+    "a picture of {}",
+    "{} in the scene",
+    "this image depicts {}",
+)
+
+
+def _augmented_captions(caption: str, rng: np.random.Generator) -> List[str]:
+    """Original + the defense-time text transforms as positive captions."""
+    from tvc.attacks.text_attack import BUILTIN_SYNONYMS
+
+    out = [caption]
+    core = caption.rstrip(".")
+    out.extend(t.format(core) for t in _TRAIN_TEMPLATES)
+    # synonym substitutions on content words (same table the augmenter uses)
+    words = caption.split()
+    for i, w in enumerate(words):
+        syns = BUILTIN_SYNONYMS.get(w.lower())
+        if not syns:
+            continue
+        for s in syns:
+            cand = list(words)
+            cand[i] = s
+            out.append(" ".join(cand))
+    return out
+
+
+def _training_corpus(
+    image_size: int,
+) -> Tuple[np.ndarray, List[List[str]]]:
+    """All caption combos -> (base images [N,s,s,3] noise-free,
+    per-combo caption pools [original + augmented])."""
+    from tvc.data.loaders import SyntheticDataset, render_synthetic_image
+
+    rng = np.random.default_rng(0)
+    combos = SyntheticDataset.all_combos()
+    images = np.stack(
+        [render_synthetic_image(c, image_size, noise_seed=None) for c in combos]
+    )
+    captions = [
+        _augmented_captions(SyntheticDataset.caption_for_combo(c), rng)
+        for c in combos
+    ]
+    return images, captions
+
+
+def evaluate_fixture(model, n: int = 50, seed: int = 42) -> Dict[str, float]:
+    """Quality metrics of a (trained) CLIP on the synthetic eval split:
+
+    * ``retrieval_accuracy`` — text->image top-1 within the n-batch
+      (the four-scenarios scenario-2 metric; reference measured 0.8875);
+    * ``variant_similarity`` — mean cos(variant text emb, original text
+      emb) over TextAugmenter-style variants (defense soundness);
+    * ``pair_similarity`` — mean cos(image, paired text).
+    """
+    from tvc.data import DataConfig, SyntheticDataset
+
+    ds = SyntheticDataset(
+        DataConfig(image_size=model.config.image_size, max_samples=n, seed=seed)
+    )
+    batch = next(ds.batches(batch_size=n))
+    images, texts = batch["images"], batch["texts"]
+    ifeat = np.asarray(model.encode_image(images))
+    tfeat = np.asarray(model.encode_text(list(texts)))
+    sims = ifeat @ tfeat.T
+    acc = float(np.mean(np.argmax(sims, axis=1) == np.arange(len(texts))))
+    pair = float(np.mean(np.diag(sims)))
+    rng = np.random.default_rng(0)
+    vsims = []
+    for t, tf in zip(texts[:16], tfeat[:16]):
+        variants = _augmented_captions(t, rng)[1:6]
+        vf = np.asarray(model.encode_text(variants))
+        vsims.append(float(np.mean(vf @ tf)))
+    return {
+        "retrieval_accuracy": acc,
+        "pair_similarity": pair,
+        "variant_similarity": float(np.mean(vsims)),
+    }
+
+
+def train_clip_fixture(
+    steps: int = 1500,
+    batch_size: int = 128,
+    seed: int = 0,
+    learning_rate: float = 3e-3,
+    target_accuracy: float = 0.98,
+    eval_every: int = 250,
+    noise: float = 0.05,
+    log: Optional[Callable[[str], None]] = None,
+):
+    """Train the tiny CLIP on the synthetic corpus until retrieval works.
+
+    Returns ``(CLIPModel, metrics dict)``. Early-stops once eval retrieval
+    accuracy >= target_accuracy.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from tvc.models import CLIPConfig, CLIPModel
+    from tvc.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from tvc.parallel.steps import make_train_step
+
+    model = CLIPModel(CLIPConfig.tiny(), seed=seed)
+    images, caption_pools = _training_corpus(model.config.image_size)
+    n_corpus = len(images)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS)
+    )
+    optimizer = optax.adamw(learning_rate)
+    step_fn, opt_state = make_train_step(model, mesh, optimizer)
+
+    rng = np.random.default_rng(seed)
+    params = model.params
+    t0 = time.time()
+    history: List[Dict[str, float]] = []
+    final_metrics: Dict[str, float] = {}
+    for step in range(1, steps + 1):
+        idx = rng.choice(n_corpus, size=batch_size, replace=False)
+        px = images[idx] + noise * rng.random(
+            (batch_size,) + images.shape[1:], dtype=np.float32
+        )
+        np.clip(px, 0.0, 1.0, out=px)
+        texts = [
+            caption_pools[i][int(rng.integers(len(caption_pools[i])))]
+            for i in idx
+        ]
+        tokens = jnp.asarray(model.tokenize(texts))
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(px), tokens
+        )
+        if step % eval_every == 0 or step == steps:
+            model.params = params
+            m = evaluate_fixture(model)
+            m.update(step=step, loss=float(loss), seconds=time.time() - t0)
+            history.append(m)
+            if log:
+                log(
+                    f"step {step}: loss {float(loss):.4f} "
+                    f"retrieval {m['retrieval_accuracy']:.3f} "
+                    f"variant_sim {m['variant_similarity']:.3f}"
+                )
+            final_metrics = m
+            if m["retrieval_accuracy"] >= target_accuracy:
+                break
+    model.params = params
+    final_metrics["history"] = history
+    return model, final_metrics
+
+
+def save_fixture(model, metrics: Dict, path: Path = FIXTURE_PATH) -> None:
+    from flax import serialization
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(model.params))
+    meta = {k: v for k, v in metrics.items() if k != "history"}
+    meta["model"] = model.config.model_name
+    FIXTURE_META_PATH.write_text(json.dumps(meta, indent=2, default=float))
+
+
+def load_trained_tiny(train_if_missing: bool = True, seed: int = 0):
+    """The default quality fixture: tiny CLIP with TRAINED params.
+
+    Loads the committed checkpoint; when absent (fresh checkout with assets
+    stripped) trains one on the fly and caches it.
+    """
+    from flax import serialization
+
+    from tvc.models import CLIPConfig, CLIPModel
+
+    model = CLIPModel(CLIPConfig.tiny(), seed=seed)
+    if FIXTURE_PATH.exists():
+        model.params = serialization.from_bytes(
+            model.params, FIXTURE_PATH.read_bytes()
+        )
+        return model
+    if not train_if_missing:
+        raise FileNotFoundError(f"no trained fixture at {FIXTURE_PATH}")
+    model, metrics = train_clip_fixture()
+    save_fixture(model, metrics)
+    return model
+
+
+if __name__ == "__main__":
+    model, metrics = train_clip_fixture(log=print)
+    save_fixture(model, metrics)
+    print(json.dumps({k: v for k, v in metrics.items() if k != "history"}, indent=2))
