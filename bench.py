@@ -103,8 +103,10 @@ def main():
                 method=CLIPModule.encode_text,
             )
         ).reshape(b, v, -1)
-        # retrieval references: exact top-k over the bank (one MXU matmul)
-        sims = jnp.dot(img, bank.T, preferred_element_type=jnp.float32)
+        # retrieval references: exact top-k over the bank (one MXU matmul);
+        # text-query retrieval (the text fetches what the image SHOULD look
+        # like, reference src/pipeline.py:441-472)
+        sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
         _, idx = jax.lax.top_k(sims, K)
         refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(b, K, -1)
         out = fused_consistency_scores(img, txt, var, refs)

@@ -40,9 +40,10 @@ def test_defense_step(mesh, model):
     assert flags.shape == (B,)
     assert idx.shape == (B, k)
     assert np.all(np.asarray(idx) < rows * 2)
-    # sharded top-k matches single-device oracle
-    img = np.asarray(model.encode_image(np.asarray(pixels)))
-    sims = img @ np.asarray(bank).T
+    # sharded top-k matches single-device oracle (retrieval is TEXT-query:
+    # the text fetches what the image should look like)
+    txt = np.asarray(model.encode_text(texts))
+    sims = txt @ np.asarray(bank).T
     want_idx = np.argsort(-sims, axis=1)[:, :k]
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
 

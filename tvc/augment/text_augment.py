@@ -232,12 +232,18 @@ class TextAugmenter:
 
     # canonical public name (SURVEY.md §0 API-drift resolution)
     def generate_variants(
-        self, text: str, num_variants: Optional[int] = None
+        self,
+        text: str,
+        num_variants: Optional[int] = None,
+        _paraphrases: Optional[List[str]] = None,
     ) -> List[str]:
         n = num_variants or self.config.max_variants
         self.stats["calls"] += 1
         raw: List[str] = []
-        for strategy in self.strategies.values():
+        for name, strategy in self.strategies.items():
+            if name == "paraphrase" and _paraphrases is not None:
+                raw.extend(_paraphrases)  # pre-generated in one batched decode
+                continue
             raw.extend(strategy.augment(text, n))
         self.stats["variants_generated"] += len(raw)
         filtered = self._filter(text, raw)
@@ -251,7 +257,26 @@ class TextAugmenter:
     def batch_generate_variants(
         self, texts: Sequence[str], num_variants: Optional[int] = None
     ) -> List[List[str]]:
-        return [self.generate_variants(t, num_variants) for t in texts]
+        """Batch path: when the injected paraphrase generator supports
+        ``batch(texts, n)`` (tvc/models/qwen.ParaphraseAdapter), ALL
+        queries' LLM paraphrases run as ONE decode batch instead of one
+        decode per query."""
+        n = num_variants or self.config.max_variants
+        pre: Optional[List[List[str]]] = None
+        para = self.strategies.get("paraphrase")
+        gen = getattr(para, "generator", None)
+        batch_fn = getattr(gen, "batch", None)
+        if batch_fn is not None:
+            try:
+                pre = batch_fn(list(texts), n)
+            except Exception:
+                pre = None
+        return [
+            self.generate_variants(
+                t, n, _paraphrases=pre[i] if pre is not None else None
+            )
+            for i, t in enumerate(texts)
+        ]
 
     batch_augment = batch_generate_variants
 

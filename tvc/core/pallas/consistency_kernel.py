@@ -51,6 +51,8 @@ def _norm(x: Array) -> Array:
 
 
 def _consistency_kernel(
+    params_ref,  # SMEM [4]: w_tv, w_sd, w_cons, threshold (traced, so
+    #            calibration updates do NOT recompile the kernel)
     img_ref,
     txt_ref,
     var_ref,
@@ -58,12 +60,11 @@ def _consistency_kernel(
     ref_ref,
     rmask_ref,
     out_ref,
-    *,
-    w_tv: float,
-    w_sd: float,
-    w_cons: float,
-    threshold: float,
 ):
+    w_tv = params_ref[0]
+    w_sd = params_ref[1]
+    w_cons = params_ref[2]
+    threshold = params_ref[3]
     img = _norm(img_ref[:].astype(jnp.float32))  # [TB, D]
     txt = _norm(txt_ref[:].astype(jnp.float32))  # [TB, D]
     var = _norm(var_ref[:].astype(jnp.float32))  # [TB, V, D]
@@ -129,7 +130,7 @@ def _pad_axis(x: Array, axis: int, multiple: int, value: float = 0.0) -> Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("weights", "threshold", "block_b", "interpret"),
+    static_argnames=("block_b", "interpret"),
 )
 def fused_consistency_scores(
     img: Array,
@@ -180,17 +181,17 @@ def fused_consistency_scores(
     Bp, Vp, Rp = imgp.shape[0], varp.shape[1], refp.shape[1]
 
     grid = (Bp // block_b,)
-    kernel = functools.partial(
-        _consistency_kernel,
-        w_tv=float(weights[0]),
-        w_sd=float(weights[1]),
-        w_cons=float(weights[2]),
-        threshold=float(threshold),
+    params = jnp.concatenate(
+        [
+            jnp.asarray(weights, jnp.float32).reshape(3),
+            jnp.asarray(threshold, jnp.float32).reshape(1),
+        ]
     )
     out = pl.pallas_call(
-        kernel,
+        _consistency_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_b, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, Vp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -206,7 +207,7 @@ def fused_consistency_scores(
             bytes_accessed=4 * Bp * D * (Vp + Rp + 2) + 4 * NSTATS * Bp,
             transcendentals=0,
         ),
-    )(imgp, txtp, varp, vmp, refp, rmp)
+    )(params, imgp, txtp, varp, vmp, refp, rmp)
 
     out = out[:B, :]
     return {

@@ -9,3 +9,8 @@ from tvc.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from tvc.parallel.steps import (  # noqa: F401
+    make_defense_step,
+    make_serving_step,
+    make_train_step,
+)

@@ -27,25 +27,56 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tvc.core import consistency as C
-from tvc.core.similarity import batched_set_cosine, cosine_similarity, l2_normalize
+from tvc.core.pallas.consistency_kernel import (
+    consistency_scores_reference,
+    fused_consistency_scores,
+)
+from tvc.core.similarity import l2_normalize
 from tvc.models.clip import CLIPModel, CLIPModule, normalize_pixels
 from tvc.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def make_defense_step(
+def make_serving_step(
     model: CLIPModel,
-    mesh: Mesh,
-    bank_rows_per_shard: int,
+    mesh: Optional[Mesh] = None,
     top_k: int = 5,
-    threshold: float = C.DEFAULT_THRESHOLD,
+    with_bank: bool = True,
+    use_kernel: Optional[bool] = None,
+    num_refs: Optional[int] = None,
 ) -> Callable:
-    """Returns jitted ``step(params, pixels, tokens, variant_tokens, bank)``.
+    """THE serving hot path as ONE jitted program.
 
-    pixels [B, H, W, 3] raw [0,1]; tokens [B, T]; variant_tokens [B, V, T];
-    bank [S*rows, D] row-sharded over MODEL_AXIS.
-    Outputs: (is_adversarial [B], aggregated [B], topk_idx [B, k]).
+    Returns ``step(params, pixels, tokens, variant_tokens, variant_mask,
+    bank, valid, weights, lower, upper) -> dict`` computing CLIP image +
+    text + variant encodes, exact bank top-k retrieval references, and the
+    full consistency scoring — one device dispatch end to end (the
+    reference runs these as 4+ separate GPU stages with host round-trips,
+    src/pipeline.py:333-534).
+
+    * ``pixels`` [B,H,W,3] raw [0,1]; ``tokens`` [B,T];
+      ``variant_tokens`` [B,V,T] + ``variant_mask`` [B,V] bool (padded
+      variant slots masked out of the statistics);
+    * ``bank`` [N,D] (rows sharded over MODEL_AXIS when ``mesh`` is given)
+      + ``valid`` [N] bool masking pad rows; pass zeros((1,D))/zeros(1)
+      when ``with_bank=False``;
+    * ``weights`` [3] and ``lower``/``upper`` decision thresholds are
+      TRACED operands — calibration updates and weight changes never
+      recompile (round-1 ADVICE item 5);
+    * decision is two-sided: ``agg > upper | agg < lower`` (pass
+      ``lower=-inf`` for reference-parity one-sided detection,
+      reference src/detector.py:399).
+
+    Output dict keys: ``is_adversarial``, ``aggregated``, ``tv_score``,
+    ``sd_score``, ``consistency_score``, ``orig_similarity``,
+    ``variant_mean``, ``variant_std``, ``ref_idx``.
     """
-    module = model.module
+    module = model.inference_module
+    num_refs = min(num_refs or top_k, top_k)  # score the first num_refs of
+    #                                           top_k (idx sorted descending)
+    if use_kernel is None:
+        # the fused Pallas kernel has no SPMD partitioning rule; under a
+        # mesh the pure-jnp math shards cleanly and XLA fuses it anyway
+        use_kernel = mesh is None and jax.default_backend() == "tpu"
 
     def encode_image(params, px):
         return l2_normalize(
@@ -57,57 +88,162 @@ def make_defense_step(
             module.apply({"params": params}, tok, method=CLIPModule.encode_text)
         )
 
-    def bank_topk(queries, bank_shard):
-        sims = jnp.dot(queries, bank_shard.T, preferred_element_type=jnp.float32)
-        scores, idx = jax.lax.top_k(sims, top_k)
-        shard_id = jax.lax.axis_index(MODEL_AXIS)
-        gidx = idx + shard_id * bank_rows_per_shard
-        all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=1)
-        all_idx = jax.lax.all_gather(gidx, MODEL_AXIS, axis=1)
-        B = all_scores.shape[0]
-        top_scores, pos = jax.lax.top_k(all_scores.reshape(B, -1), top_k)
-        top_idx = jnp.take_along_axis(all_idx.reshape(B, -1), pos, axis=1)
-        return top_scores, top_idx
+    def bank_topk_local(queries, bank, valid):
+        sims = jnp.dot(queries, bank.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(valid[None, :], sims, -jnp.inf)
+        return jax.lax.top_k(sims, top_k)
 
-    sharded_topk = jax.shard_map(
-        bank_topk,
-        mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    if mesh is not None and with_bank:
 
-    def step(params, pixels, tokens, variant_tokens, bank):
+        def bank_topk_body(queries, bank_shard, valid_shard):
+            rows = bank_shard.shape[0]  # local shard rows
+            scores, idx = bank_topk_local(queries, bank_shard, valid_shard)
+            shard_id = jax.lax.axis_index(MODEL_AXIS)
+            gidx = idx + shard_id * rows
+            all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=1)
+            all_idx = jax.lax.all_gather(gidx, MODEL_AXIS, axis=1)
+            B = all_scores.shape[0]
+            top_scores, pos = jax.lax.top_k(all_scores.reshape(B, -1), top_k)
+            top_idx = jnp.take_along_axis(all_idx.reshape(B, -1), pos, axis=1)
+            return top_scores, top_idx
+
+        sharded_topk = jax.shard_map(
+            bank_topk_body,
+            mesh=mesh,
+            in_specs=(P(), P(MODEL_AXIS, None), P(MODEL_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+    def step(
+        params,
+        pixels,
+        tokens,
+        variant_tokens,
+        variant_mask,
+        bank,
+        valid,
+        weights,
+        lower,
+        upper,
+    ):
         img = encode_image(params, pixels)  # [B, D]
         txt = encode_text(params, tokens)  # [B, D]
         B, V, T = variant_tokens.shape
         var = encode_text(params, variant_tokens.reshape(B * V, T)).reshape(B, V, -1)
 
-        ref_scores, ref_idx = sharded_topk(img, bank)  # retrieval refs
-        refs = jnp.take(bank, ref_idx.reshape(-1), axis=0).reshape(B, top_k, -1)
+        if with_bank:
+            # retrieval references are fetched by the TEXT embedding: the
+            # text retrieves what the image SHOULD look like, and the
+            # detector compares the actual image against that (reference
+            # src/pipeline.py:441-472 retrieve_images_by_text -> detector)
+            if mesh is not None:
+                _, ref_idx = sharded_topk(txt, bank, valid)
+            else:
+                _, ref_idx = bank_topk_local(txt, bank, valid)
+            refs = jnp.take(
+                bank, ref_idx[:, :num_refs].reshape(-1), axis=0
+            ).reshape(B, num_refs, -1)
+            ref_mask = jnp.ones((B, num_refs), dtype=bool)
+        else:
+            refs = jnp.zeros((B, 1, img.shape[-1]), jnp.float32)
+            ref_mask = jnp.zeros((B, 1), dtype=bool)
+            ref_idx = jnp.full((B, top_k), -1, jnp.int32)
 
-        orig = cosine_similarity(img, txt)
-        vsims = batched_set_cosine(img, var)
-        rsims = batched_set_cosine(img, refs)
-        flags, agg, _ = C.detect(orig, vsims, rsims, threshold=threshold)
-        return flags, agg, ref_idx
+        score_fn = fused_consistency_scores if use_kernel else consistency_scores_reference
+        out = dict(
+            score_fn(
+                img,
+                txt,
+                var,
+                refs,
+                variant_mask=variant_mask,
+                ref_mask=ref_mask,
+                weights=weights,
+                threshold=upper,
+            )
+        )
+        out["is_adversarial"] = out["is_adversarial"] | (out["aggregated"] < lower)
+        out["ref_idx"] = ref_idx
+        return out
 
+    if mesh is None:
+        return jax.jit(step)
+
+    repl = NamedSharding(mesh, P())
     data_nd = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
     return jax.jit(
         step,
         in_shardings=(
-            NamedSharding(mesh, P()),  # params replicated
-            data_nd(4),
-            data_nd(2),
-            data_nd(3),
+            repl,  # params replicated
+            data_nd(4),  # pixels
+            data_nd(2),  # tokens
+            data_nd(3),  # variant tokens
+            data_nd(2),  # variant mask
             NamedSharding(mesh, P(MODEL_AXIS, None)),  # bank rows sharded
+            NamedSharding(mesh, P(MODEL_AXIS)),  # valid mask
+            repl,
+            repl,
+            repl,
         ),
-        out_shardings=(
-            NamedSharding(mesh, P(DATA_AXIS)),
-            NamedSharding(mesh, P(DATA_AXIS)),
-            data_nd(2),
-        ),
+        out_shardings={
+            "is_adversarial": data_nd(1),
+            "aggregated": data_nd(1),
+            "tv_score": data_nd(1),
+            "sd_score": data_nd(1),
+            "consistency_score": data_nd(1),
+            "orig_similarity": data_nd(1),
+            "variant_mean": data_nd(1),
+            "variant_std": data_nd(1),
+            "ref_idx": data_nd(2),
+        },
     )
+
+
+def make_defense_step(
+    model: CLIPModel,
+    mesh: Mesh,
+    bank_rows_per_shard: int,  # kept for API compat; rows come from shapes
+    top_k: int = 5,
+    threshold: float = C.DEFAULT_THRESHOLD,
+) -> Callable:
+    """Compat wrapper over ``make_serving_step`` (the round-1 signature the
+    driver's dryrun and the mesh tests use).
+
+    Returns jitted ``step(params, pixels, tokens, variant_tokens, bank) ->
+    (is_adversarial [B], aggregated [B], topk_idx [B, k])``.
+    """
+    serving = make_serving_step(
+        model, mesh, top_k=top_k, with_bank=True, use_kernel=False
+    )
+    weights = jnp.asarray(
+        [
+            C.DEFAULT_WEIGHTS["text_variants"],
+            C.DEFAULT_WEIGHTS["sd_reference"],
+            C.DEFAULT_WEIGHTS["consistency"],
+        ],
+        jnp.float32,
+    )
+
+    def step(params, pixels, tokens, variant_tokens, bank):
+        B, V, _ = variant_tokens.shape
+        vmask = np.ones((B, V), dtype=bool)
+        valid = np.ones((bank.shape[0],), dtype=bool)
+        out = serving(
+            params,
+            pixels,
+            tokens,
+            variant_tokens,
+            vmask,
+            bank,
+            valid,
+            weights,
+            -jnp.inf,
+            jnp.float32(threshold),
+        )
+        return out["is_adversarial"], out["aggregated"], out["ref_idx"]
+
+    return step
 
 
 def make_train_step(

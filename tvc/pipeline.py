@@ -134,30 +134,26 @@ class MultiModalDetectionPipeline:
                     detection_threshold=self.config.detection_threshold,
                     num_text_variants=self.config.num_text_variants,
                     num_reference_images=self.config.num_reference_images,
+                    retrieval_top_k=self.config.retrieval_top_k,
                 ),
                 text_augmenter=self.text_augmenter,
+                # SD/host generators go through reference_generator; the
+                # retriever is passed separately so bank top-k runs INSIDE
+                # the detector's fused serving program
                 reference_generator=self._reference_generator(),
+                retriever=self.retriever,
             )
         self.detector = detector
         self.stats = {"batches": 0, "queries": 0, "adversarial": 0, "errors": 0}
 
     def _reference_generator(self):
-        """Reference embeddings for the detector: retrieval bank and/or SD
-        synthesis (reference pipeline steps 'retrieval' + 'sd_reference')."""
+        """SD-synthesized reference embeddings for the detector (the
+        retrieval-bank refs come from the retriever passed alongside)."""
+        if self.sd_generator is None:
+            return None
 
         def gen(texts: List[str], n: int) -> np.ndarray:
-            parts = []
-            if self.retriever is not None and self.retriever.image_bank is not None:
-                parts.append(
-                    self.retriever.retrieve_reference_embeddings(texts, top_k=n)
-                )
-            if self.sd_generator is not None:
-                parts.append(np.asarray(self.sd_generator(texts, n)))
-            if not parts:
-                D = self.model.config.embed_dim
-                return np.zeros((len(texts), n, D), np.float32)
-            merged = np.concatenate(parts, axis=1)
-            return merged[:, :n]
+            return np.asarray(self.sd_generator(texts, n))
 
         return gen
 
@@ -178,25 +174,40 @@ class MultiModalDetectionPipeline:
         timings["text_augment"] = time.time() - t0
         self.profiler.end_step("text_augment")
 
-        retrieved = None
-        if "retrieval" in self.config.steps and self.retriever is not None:
-            self.profiler.start_step("retrieval")
-            t0 = time.time()
-            try:
-                r = self.retriever.retrieve_images_by_text(
-                    list(texts), top_k=self.config.retrieval_top_k
-                )
-                retrieved = r.items
-            except Exception as e:  # degraded-mode continue (reference :389-392)
-                errors.append(f"retrieval: {e}")
-            timings["retrieval"] = time.time() - t0
-            self.profiler.end_step("retrieval")
-
         self.profiler.start_step("detection")
         t0 = time.time()
         det: DetectionResult = self.detector.detect_batch(images, texts)
         timings["detection"] = time.time() - t0
         self.profiler.end_step("detection")
+
+        retrieved = None
+        if "retrieval" in self.config.steps and self.retriever is not None:
+            self.profiler.start_step("retrieval")
+            t0 = time.time()
+            ref_idx = det.details.get("ref_idx")
+            if (
+                ref_idx is not None
+                and self.retriever.image_items
+                and ref_idx.shape[1] >= self.config.retrieval_top_k
+            ):
+                # the fused detection program already ran the bank top-k —
+                # map its indices to items with zero extra device dispatches
+                items = self.retriever.image_items
+                k = min(self.config.retrieval_top_k, ref_idx.shape[1])
+                retrieved = [
+                    [items[int(j)] for j in row[:k] if 0 <= int(j) < len(items)]
+                    for row in ref_idx
+                ]
+            else:
+                try:
+                    r = self.retriever.retrieve_images_by_text(
+                        list(texts), top_k=self.config.retrieval_top_k
+                    )
+                    retrieved = r.items
+                except Exception as e:  # degraded-mode continue (reference :389-392)
+                    errors.append(f"retrieval: {e}")
+            timings["retrieval"] = time.time() - t0
+            self.profiler.end_step("retrieval")
 
         self.stats["batches"] += 1
         self.stats["queries"] += len(texts)
