@@ -1,18 +1,33 @@
 """tvc benchmark: defended queries/sec + detection AUROC on one TPU chip.
 
-Workload (BASELINE.json config #1): CLIP ViT-B/32 cosine-consistency
-detector with pre-generated text variants (no Qwen/SD): per query
+Primary workload (BASELINE.json config #1): CLIP ViT-B/32
+cosine-consistency detector with pre-generated text variants (no Qwen/SD):
+per query
   1x image encode (224x224) + V=6 variant/original text encodes
   + bank top-k (131072 x 512 exact matmul) + fused Pallas consistency kernel.
 
+Also measured in the same run:
+  * per-batch latency P50/P99 (reference README.md:897-898 reports
+    19.1/45.7 ms);
+  * config #4 "full TVC": Qwen batched paraphrase generation IN the loop
+    feeding the defended step — reported as full_cold (every batch
+    regenerates variants) and full_steady (variants cached, the
+    reference's md5-cache steady state);
+  * with --full, config #5 "full genref": Stable Diffusion (SD-1.5 shape,
+    256px, 20 steps) reference synthesis, amortized into the embedding
+    bank the way the reference amortizes through its ReferenceBank.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Baseline: reference 52.3 defended q/s on 6x RTX 4090 (README.md:891-897).
+Baseline: reference 52.3 defended q/s on 6x RTX 4090 (README.md:891-897),
+including text-augment 3.2 ms + retrieval 8.7 ms + SD 12.4 ms + detection
+2.1 ms per query (README.md:903-909 — cache-amortized numbers).
 
 Notes: weights are random (zero-egress environment) — identical FLOPs to
 pretrained weights, so throughput is faithful; AUROC is measured on
-PGD-attacked vs clean queries under the same detector. Inputs are generated
-on device and reused across timing iterations (measures sustained device
-throughput; host input pipelining is a separate axis).
+PGD-attacked vs clean queries under the same detector. The Qwen stage uses
+Qwen2-0.5B (a single 16 GB v5e chip also holds CLIP + the bank; the
+reference's Qwen2-7B ran on 144 GB of GPU — the TP path in tvc/parallel/tp
+shards 7B over a mesh). Latency subtracts the axon tunnel RTT per readback.
 """
 
 import json
@@ -26,8 +41,124 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, rtt, t_def_s):
+    """BASELINE config #4: Qwen paraphrase generation in the loop.
+
+    All B queries' paraphrases run as ONE decode batch
+    (tvc/models/qwen.generate_paraphrases_batch); the generated variants
+    feed the SAME compiled defended step. full_cold regenerates variants
+    every batch; full_steady is the variant-cache steady state (the
+    reference caches variants by md5 and reports cache-amortized times,
+    README.md:903-909)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from tvc.models.qwen import QwenConfig, QwenModel
+
+    B, V, T_b = variant_tokens.shape
+    t0 = time.time()
+    qwen = QwenModel(QwenConfig(), seed=0, max_new_tokens=16, cast_params_bf16=True)
+    init_s = time.time() - t0
+    log(f"qwen init: {init_s:.1f}s ({qwen.config.model_name})")
+    texts = [f"a photo of scene number {i} with objects" for i in range(B)]
+
+    t0 = time.time()
+    paras = qwen.generate_paraphrases_batch(texts, V - 1)
+    log(f"qwen paraphrase compile+run ({B}x{V - 1}): {time.time() - t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        paras = qwen.generate_paraphrases_batch(texts, V - 1)
+        times.append(time.time() - t0)
+    t_qwen = float(np.median(times))
+
+    # generated variants (+ the original as variant V) -> the SAME compiled
+    # defended step shape [B, V, T_b]
+    var_tok = np.zeros((B, V, T_b), np.int32)
+    for i, (text, plist) in enumerate(zip(texts, paras)):
+        cands = (list(plist) + [text] * V)[:V]
+        tok = np.asarray(model.tokenize(cands))[:, :T_b]
+        var_tok[i, :, : tok.shape[1]] = tok
+    t0 = time.time()
+    agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
+    _ = float(agg[0])
+    t_def_meas = max(time.time() - t0 - rtt, t_def_s)
+
+    full_cold_qps = B / (t_qwen + t_def_meas)
+    log(
+        f"full TVC (Qwen in loop): {full_cold_qps:.1f} q/s cold "
+        f"(qwen {t_qwen / B * 1e3:.2f} ms/q + defense {t_def_meas / B * 1e3:.2f} ms/q); "
+        f"steady (variants cached) = config #1 rate"
+    )
+    return {
+        "full_cold_qps": round(full_cold_qps, 2),
+        "full_cold_vs_baseline": round(full_cold_qps / 52.3, 3),
+        "qwen_ms_per_query": round(t_qwen / B * 1e3, 3),
+        "qwen_model": qwen.config.model_name,
+        "qwen_tok_per_s": round(B * (V - 1) * qwen.max_new_tokens / t_qwen, 1),
+    }
+
+
+def _sd_genref_stage(model, B, n_texts=64, n_refs=2):
+    """BASELINE config #5: SD reference synthesis amortized through the
+    embedding bank. Generates n_refs 256px/20-step images for n_texts
+    unique queries in chunked batched diffusion programs, CLIP-embeds them
+    (bank rows), and reports generation throughput + the cold per-query
+    cost. Steady state costs ~0: references live in the bank and are
+    retrieved, exactly how the reference amortizes via its ReferenceBank +
+    md5 image cache (reference src/sd_ref.py:454-483, src/ref_bank.py)."""
+    import dataclasses
+    import time
+
+    from tvc.models.sd import SDConfig, StableDiffusionModel
+
+    cfg = dataclasses.replace(SDConfig(), image_size=256)
+    t0 = time.time()
+    sd = StableDiffusionModel(cfg, seed=0)
+    init_s = time.time() - t0
+    log(f"sd init: {init_s:.1f}s (SD-1.5 shape @256px)")
+    texts = [f"a photo of scene number {i} with objects" for i in range(n_texts)]
+    chunk = 8
+    _ = sd.generate_images_batch(texts[:chunk], num_images=n_refs, seed=0)  # compile
+    t0 = time.time()
+    images = []
+    for i in range(0, n_texts, chunk):
+        for per_prompt in sd.generate_images_batch(
+            texts[i : i + chunk], num_images=n_refs, seed=0
+        ):
+            images.extend(per_prompt)
+    gen_s = time.time() - t0
+    n_img = len(images)
+    t0 = time.time()
+    emb = np.asarray(model.encode_image(list(images)))  # resize 256->224 + encode
+    embed_s = time.time() - t0
+    img_per_s = n_img / gen_s
+    log(
+        f"sd genref: {n_img} images in {gen_s:.1f}s = {img_per_s:.1f} img/s "
+        f"(+{embed_s:.1f}s CLIP embed); cold {gen_s / n_texts * 1e3:.1f} ms/query, "
+        f"steady ~0 (bank-amortized)"
+    )
+    assert emb.shape == (n_img, model.config.embed_dim)
+    return {
+        "sd_img_per_s": round(img_per_s, 2),
+        "sd_ms_per_query_cold": round(gen_s / n_texts * 1e3, 2),
+        "sd_refs_per_query": n_refs,
+        "sd_image_size": cfg.image_size,
+        "sd_init_s": round(init_s, 1),
+    }
+
+
 def main():
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # remote compiles of the Qwen decode / SD sampler programs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from tvc.core.pallas import fused_consistency_scores
@@ -171,6 +302,41 @@ def main():
         f"window {elapsed:.2f}s)"
     )
 
+    # -- latency percentiles (reference README.md:897-898) -------------------
+    # per-batch latency distribution: repeated single-step dispatch+readback
+    # minus the tunnel RTT (absent on directly-attached hardware)
+    lat = []
+    for _ in range(16):
+        t0 = time.time()
+        agg, _ = defended_step(params, pixels, tokens, variant_tokens, bank)
+        _ = float(agg[0])
+        lat.append(max(time.time() - t0 - rtt, 1e-9))
+    lat_ms = np.asarray(lat) * 1e3
+    p50, p99 = float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99))
+    log(f"batch latency (B={B}): P50 {p50:.2f} ms  P99 {p99:.2f} ms")
+
+    # -- config #4: full TVC with Qwen variant generation in the loop ---------
+    full = {}
+    if "--skip-qwen" not in sys.argv and not small:
+        try:
+            full.update(
+                _qwen_full_stage(
+                    model, defended_step, params, pixels, tokens,
+                    variant_tokens, bank, rtt, p50 / 1e3,
+                )
+            )
+        except Exception as e:
+            log(f"qwen full stage failed: {type(e).__name__}: {e}")
+            full["full_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # -- config #5: SD genref amortized through the bank (--full) -------------
+    if "--full" in sys.argv:
+        try:
+            full.update(_sd_genref_stage(model, B))
+        except Exception as e:
+            log(f"sd genref stage failed: {type(e).__name__}: {e}")
+            full["sd_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # detection AUROC: PGD-attacked vs clean under the same scores
     from tvc.attacks.pgd import PGDAttackConfig, _pgd_run
     from tvc.metrics import DetectionEvaluator
@@ -216,10 +382,14 @@ def main():
                 "unit": "queries/s",
                 "vs_baseline": round(float(qps) / baseline_qps, 3),
                 "auroc_pgd": round(float(auroc), 4),
+                "latency_p50_ms": round(p50, 2),
+                "latency_p99_ms": round(p99, 2),
+                "latency_per_query_p50_ms": round(p50 / B, 4),
                 "batch_size": B,
                 "bank_size": BANK_N,
                 "backend": backend,
                 "model": cfg.model_name,
+                **full,
             }
         ),
         flush=True,

@@ -389,7 +389,8 @@ class CLIPModel:
                 (1, self.config.image_size, self.config.image_size, 3), jnp.float32
             )
             dummy_tok = jnp.zeros((1, self.config.context_length), jnp.int32)
-            params = self.module.init(key, dummy_img, dummy_tok)["params"]
+            # jitted init: one compiled program, not per-op dispatches
+            params = jax.jit(self.module.init)(key, dummy_img, dummy_tok)["params"]
         self.params = params
         if tokenizer is None:
             from tvc.models.tokenizer import get_tokenizer

@@ -8,9 +8,16 @@ on random weights (tests/test_weight_loading.py). Point them at a local
 checkout (``$TVC_CLIP_WEIGHTS`` / ``$TVC_QWEN_WEIGHTS`` or an explicit
 path) to run with real weights.
 
-The SD UNet here is an independent TPU-first architecture (not a diffusers
-clone), so diffusers checkpoints do not map onto it; SD params persist
-through ``save_params``/``load_params`` (msgpack via flax.serialization).
+Stable Diffusion: tvc's native UNet (tvc/models/sd.py) is an independent
+TPU-first architecture, so diffusers checkpoints do not map onto it —
+``tvc/models/sd_hf.py`` provides the HF-layout-compatible UNet/VAE mirror,
+and ``convert_sd_unet_state_dict`` / ``convert_sd_vae_state_dict`` here map
+a diffusers ``UNet2DConditionModel`` / ``AutoencoderKL`` state dict onto it
+key-for-key (strict: missing/extra keys raise). ``load_sd_weights`` builds
+a ready ``StableDiffusionModel`` from an on-disk
+``runwayml/stable-diffusion-v1-5``-layout checkout (reference contract:
+src/sd_ref.py:299-405). Fine-tuned tvc params persist through
+``save_params``/``load_params`` (msgpack via flax.serialization).
 """
 
 from __future__ import annotations
@@ -212,6 +219,225 @@ def load_qwen_weights(config=None, path: Optional[str] = None):
     sd = load_state_dict(path)
     params = convert_qwen_state_dict(sd, config)
     return QwenModel(config, params=params)
+
+
+# ---------------------------------------------------------------------------
+# Stable Diffusion (diffusers layout -> tvc/models/sd_hf.py mirrors)
+# ---------------------------------------------------------------------------
+
+#: dotted diffusers sub-paths that are single flax modules in sd_hf.py
+_SD_NAME_REWRITES = (
+    ("ff.net.0.proj", "ff_net_0_proj"),
+    ("ff.net.2", "ff_net_2"),
+    ("to_out.0", "to_out_0"),
+    ("downsamplers.0.conv", "downsamplers_0_conv"),
+    ("upsamplers.0.conv", "upsamplers_0_conv"),
+    ("time_embedding.linear_1", "time_embedding_linear_1"),
+    ("time_embedding.linear_2", "time_embedding_linear_2"),
+)
+
+#: top-level block prefixes whose immediate child merges into one module name
+_SD_BLOCK_CHILDREN = (
+    "resnets_", "attentions_", "downsamplers_0_conv", "upsamplers_0_conv"
+)
+
+
+def _sd_flax_path(dotted: str) -> list:
+    """diffusers param path (without .weight/.bias) -> flax tree path."""
+    for pat, repl in _SD_NAME_REWRITES:
+        dotted = dotted.replace(pat, repl)
+    segs = []
+    for s in dotted.split("."):
+        if s.isdigit() and segs:
+            segs[-1] = f"{segs[-1]}_{s}"
+        else:
+            segs.append(s)
+    out: list = []
+    for s in segs:
+        if out and s.startswith(_SD_BLOCK_CHILDREN) and (
+            out[-1] == "mid_block"
+            or (
+                out[-1].startswith(("down_blocks_", "up_blocks_"))
+                and not any(c in out[-1] for c in _SD_BLOCK_CHILDREN)
+            )
+        ):
+            out[-1] = f"{out[-1]}_{s}"
+        else:
+            out.append(s)
+    return out
+
+
+def _sd_leaf(name: str, w: np.ndarray):
+    """(leaf param name, converted array) for a diffusers weight/bias."""
+    if name == "bias":
+        return "bias", w
+    if w.ndim == 4:  # conv OIHW -> HWIO
+        return "kernel", np.transpose(w, (2, 3, 1, 0))
+    if w.ndim == 2:  # linear [out, in] -> [in, out]
+        return "kernel", _t(w)
+    return "scale", w  # norm weight
+
+
+def _sd_convert(sd: Dict[str, np.ndarray], key_filter=None) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, w in sd.items():
+        if key_filter is not None:
+            key = key_filter(key)
+            if key is None:
+                continue
+        dotted, _, leaf_name = key.rpartition(".")
+        path = _sd_flax_path(dotted)
+        leaf, arr = _sd_leaf(leaf_name, np.asarray(w))
+        node = out
+        for seg in path:
+            node = node.setdefault(seg, {})
+        node[leaf] = arr
+    return out
+
+
+def _assert_tree_matches(converted: Dict, template: Dict, what: str) -> None:
+    """Strict structural + shape check (the converter's built-in test)."""
+    import jax
+
+    conv_leaves = {
+        "/".join(str(k.key) for k in path): v.shape
+        for path, v in jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    tmpl_leaves = {
+        "/".join(str(k.key) for k in path): v.shape
+        for path, v in jax.tree_util.tree_flatten_with_path(template)[0]
+    }
+    missing = sorted(set(tmpl_leaves) - set(conv_leaves))
+    extra = sorted(set(conv_leaves) - set(tmpl_leaves))
+    if missing or extra:
+        raise ValueError(
+            f"{what}: converted tree mismatch; missing={missing[:5]} "
+            f"extra={extra[:5]} (of {len(missing)}/{len(extra)})"
+        )
+    bad = [
+        (k, conv_leaves[k], tmpl_leaves[k])
+        for k in tmpl_leaves
+        if tuple(conv_leaves[k]) != tuple(tmpl_leaves[k])
+    ]
+    if bad:
+        raise ValueError(f"{what}: shape mismatches: {bad[:5]}")
+
+
+def convert_sd_unet_state_dict(
+    sd: Dict[str, np.ndarray], config=None, validate: bool = True
+) -> Dict[str, Any]:
+    """diffusers ``UNet2DConditionModel`` state dict -> ``HFUNet`` params."""
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.models.sd_hf import HFUNet, HFUNetConfig
+
+    config = config or HFUNetConfig()
+    params = _sd_convert(sd)
+    if validate:
+        unet = HFUNet(config)
+        size = 64  # any latent size works; params are size-independent
+        tmpl = jax.eval_shape(
+            lambda: unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, size // 8, size // 8, config.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 4, config.cross_attention_dim)),
+            )["params"]
+        )
+        _assert_tree_matches(params, tmpl, "sd_unet")
+    return params
+
+
+def convert_sd_vae_state_dict(
+    sd: Dict[str, np.ndarray], config=None, validate: bool = True
+) -> Dict[str, Any]:
+    """diffusers ``AutoencoderKL`` state dict -> ``(HFVAEEncoder params,
+    HFVAEDecoder params)``. The AutoencoderKL top-level ``quant_conv`` /
+    ``post_quant_conv`` route into encoder / decoder respectively."""
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.models.sd_hf import HFVAEConfig, HFVAEDecoder, HFVAEEncoder
+
+    config = config or HFVAEConfig()
+
+    def enc_filter(key: str):
+        if key.startswith("encoder."):
+            return key[len("encoder."):]
+        if key.startswith("quant_conv."):
+            return key
+        return None
+
+    def dec_filter(key: str):
+        if key.startswith("decoder."):
+            return key[len("decoder."):]
+        if key.startswith("post_quant_conv."):
+            return key
+        return None
+
+    enc_params = _sd_convert(sd, enc_filter)
+    dec_params = _sd_convert(sd, dec_filter)
+    if validate:
+        f = 2 ** (len(config.block_out_channels) - 1)
+        size = 8 * f
+        enc_tmpl = jax.eval_shape(
+            lambda: HFVAEEncoder(config).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, size, size, config.in_channels)),
+            )["params"]
+        )
+        dec_tmpl = jax.eval_shape(
+            lambda: HFVAEDecoder(config).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 8, 8, config.latent_channels)),
+            )["params"]
+        )
+        _assert_tree_matches(enc_params, enc_tmpl, "sd_vae_encoder")
+        _assert_tree_matches(dec_params, dec_tmpl, "sd_vae_decoder")
+    return enc_params, dec_params
+
+
+def load_sd_weights(
+    path: Optional[str] = None,
+    image_size: int = 512,
+    unet_config=None,
+    vae_config=None,
+    **sd_kwargs,
+):
+    """Build a ``StableDiffusionModel`` from a diffusers-layout checkout
+    (``$TVC_SD_WEIGHTS`` or ``path``; expects ``unet/`` and ``vae/``
+    subdirectories a la runwayml/stable-diffusion-v1-5). Returns None when
+    no checkpoint is available."""
+    from tvc.models.sd import SDConfig, StableDiffusionModel
+    from tvc.models.sd_hf import HFUNet, HFUNetConfig, HFVAEConfig, HFVAEDecoder, HFVAEEncoder
+
+    path = path or os.environ.get("TVC_SD_WEIGHTS")
+    if not path or not Path(path).exists():
+        return None
+    root = Path(path)
+    unet_config = unet_config or HFUNetConfig()
+    vae_config = vae_config or HFVAEConfig()
+    unet_params = convert_sd_unet_state_dict(
+        load_state_dict(str(root / "unet")), unet_config
+    )
+    enc_params, dec_params = convert_sd_vae_state_dict(
+        load_state_dict(str(root / "vae")), vae_config
+    )
+    cfg = SDConfig(
+        image_size=image_size,
+        context_dim=unet_config.cross_attention_dim,
+        vae_scale=vae_config.scaling_factor,
+        model_name=str(root),
+    )
+    return StableDiffusionModel(
+        cfg,
+        params={"unet": unet_params, "vae_enc": enc_params, "vae_dec": dec_params},
+        unet=HFUNet(unet_config),
+        vae_enc=HFVAEEncoder(vae_config),
+        vae_dec=HFVAEDecoder(vae_config),
+        **sd_kwargs,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -185,7 +185,12 @@ class QwenLM(nn.Module):
         mask: Array,
         caches: Optional[List] = None,
         cache_index: Optional[Array] = None,
+        gather_index: Optional[Array] = None,
     ):
+        """gather_index [B]: compute LM-head logits only at this position
+        per sample (prefill needs next-token logits at each sample's last
+        real token; materializing [B, T, vocab] for large decode batches
+        blows HBM — 1280 x 24 x 152k f32 is 18.7 GB)."""
         c = self.cfg
         embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype, name="embed")
         x = embed(tokens)
@@ -197,6 +202,8 @@ class QwenLM(nn.Module):
             )
             new_caches.append(nc)
         x = RMSNorm(c.rms_eps, name="ln_f")(x)
+        if gather_index is not None:
+            x = jnp.take_along_axis(x, gather_index[:, None, None], axis=1)
         if c.tie_embeddings:
             logits = embed.attend(x.astype(jnp.float32))
         else:
@@ -238,9 +245,9 @@ class QwenModel:
             dummy = jnp.zeros((1, 4), jnp.int32)
             pos = jnp.zeros((1, 4), jnp.int32)
             mask = jnp.zeros((1, 1, 4, 4), jnp.float32)
-            params = self.module.init(jax.random.PRNGKey(seed), dummy, pos, mask)[
-                "params"
-            ]
+            params = jax.jit(self.module.init)(
+                jax.random.PRNGKey(seed), dummy, pos, mask
+            )["params"]
         if cast_params_bf16:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16) if getattr(x, "ndim", 0) >= 2 else x,
@@ -297,11 +304,10 @@ class QwenModel:
                 -jnp.inf,
             )
             logits, caches = module.apply(
-                {"params": params}, prompt_tokens, positions, prefill_mask, caches, 0
+                {"params": params}, prompt_tokens, positions, prefill_mask, caches, 0,
+                gather_index=lengths - 1,  # head only at the last real token
             )
-            next_logits = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None], axis=1
-            )[:, 0]  # [B, vocab] at each sample's last real token
+            next_logits = logits[:, 0]  # [B, vocab]
 
             def sample(lg, k):
                 return jax.lax.cond(

@@ -272,6 +272,9 @@ class StableDiffusionModel:
         seed: int = 0,
         text_encoder: Optional[Callable[[List[str]], Array]] = None,
         mesh=None,
+        unet=None,
+        vae_enc=None,
+        vae_dec=None,
     ):
         """text_encoder: ``texts -> [B, context_len, context_dim]`` token
         states. Default: a CLIP text tower sized to context_dim (random
@@ -280,13 +283,18 @@ class StableDiffusionModel:
         mesh: optional ``jax.sharding.Mesh`` — the denoising batch
         (prompts x images) shards over its ``data`` axis, replacing the
         reference's replicated-SD-per-GPU manager
-        (SURVEY.md §2.2 MultiGPUSDConfig / multi_gpu_sd_manager)."""
+        (SURVEY.md §2.2 MultiGPUSDConfig / multi_gpu_sd_manager).
+
+        unet/vae_enc/vae_dec: module overrides with the same call
+        signatures — ``tvc/models/sd_hf.py`` passes its diffusers-layout
+        mirrors here so real SD-1.5 checkpoints run through this same
+        sampler (loaders.load_sd_weights)."""
         self.config = config or SDConfig.tiny()
         self.mesh = mesh
         c = self.config
-        self.unet = UNet(c)
-        self.vae_enc = VAEEncoder(c)
-        self.vae_dec = VAEDecoder(c)
+        self.unet = unet if unet is not None else UNet(c)
+        self.vae_enc = vae_enc if vae_enc is not None else VAEEncoder(c)
+        self.vae_dec = vae_dec if vae_dec is not None else VAEDecoder(c)
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         latent_size = c.image_size // (2 ** (len(c.vae_mults) - 1))
@@ -294,10 +302,15 @@ class StableDiffusionModel:
             dummy_lat = jnp.zeros((1, latent_size, latent_size, c.latent_channels))
             dummy_ctx = jnp.zeros((1, c.context_len, c.context_dim))
             dummy_img = jnp.zeros((1, c.image_size, c.image_size, 3))
+            # jit the inits: ONE compiled program per module instead of
+            # thousands of individual op dispatches (the latter costs
+            # minutes through the axon tunnel for SD-1.5-shape params)
             params = {
-                "unet": self.unet.init(k1, dummy_lat, jnp.zeros((1,)), dummy_ctx)["params"],
-                "vae_enc": self.vae_enc.init(k2, dummy_img)["params"],
-                "vae_dec": self.vae_dec.init(k3, dummy_lat)["params"],
+                "unet": jax.jit(self.unet.init)(
+                    k1, dummy_lat, jnp.zeros((1,)), dummy_ctx
+                )["params"],
+                "vae_enc": jax.jit(self.vae_enc.init)(k2, dummy_img)["params"],
+                "vae_dec": jax.jit(self.vae_dec.init)(k3, dummy_lat)["params"],
             }
         self.params = params
         self.latent_size = latent_size
