@@ -233,3 +233,75 @@ def test_device_monitor():
         time.sleep(0.2)
     s = mon.summary()
     assert "samples" in s  # CPU backend may report no memory stats
+
+
+def test_distribution_shift_detected():
+    """A shifted split (brightness offset) must be flagged; an identical
+    split must not (reference data_validator.py:30-54 distribution checks)."""
+    from tvc.evaluation.data_validator import DataValidator
+
+    rng = np.random.default_rng(0)
+    a = rng.random((40, 16, 16, 3)).astype(np.float32)
+    same = a + rng.normal(0, 0.002, a.shape).astype(np.float32)
+    shifted = np.clip(a * 0.3 + 0.6, 0, 1).astype(np.float32)
+    v = DataValidator()
+    ok = v.check_distribution_shift(a, same)
+    bad = v.check_distribution_shift(a, shifted)
+    assert not ok["shifted"], ok
+    assert bad["shifted"], bad
+    assert bad["frechet_diag"] > ok["frechet_diag"]
+
+
+def test_cluster_check_finds_outliers():
+    from tvc.evaluation.data_validator import DataValidator
+
+    rng = np.random.default_rng(1)
+    # two tight clusters + 2 outliers in feature space (no clip model ->
+    # features are normalized raw pixels)
+    base1 = rng.random((1, 8, 8, 3)).astype(np.float32)
+    base2 = rng.random((1, 8, 8, 3)).astype(np.float32)
+    cluster = np.concatenate(
+        [
+            np.clip(base1 + rng.normal(0, 0.01, (10, 8, 8, 3)), 0, 1),
+            np.clip(base2 + rng.normal(0, 0.01, (10, 8, 8, 3)), 0, 1),
+        ]
+    ).astype(np.float32)
+    outliers = rng.random((2, 8, 8, 3)).astype(np.float32)
+    images = np.concatenate([cluster, outliers])
+    out = DataValidator().cluster_check(images)
+    assert out["n_clusters"] >= 2
+    assert 20 in out["outlier_indices"] or 21 in out["outlier_indices"]
+
+
+def test_validate_with_reference_and_clusters():
+    from tvc.evaluation.data_validator import DataValidator
+
+    rng = np.random.default_rng(2)
+    imgs = rng.random((12, 8, 8, 3)).astype(np.float32)
+    texts = [f"caption number {i} words" for i in range(12)]
+    res = DataValidator().validate(
+        imgs, texts, reference_images=imgs.copy(), check_clusters=True
+    )
+    assert res.distribution_shift is not None
+    assert not res.distribution_shift["shifted"]
+    assert res.clusters is not None
+    assert "n_clusters" in res.summary
+
+
+def test_evaluator_generate_plots(tmp_path):
+    from tvc.evaluation.experiment_evaluator import (
+        ExperimentConfig,
+        ExperimentEvaluator,
+    )
+
+    rng = np.random.default_rng(3)
+    labels = np.concatenate([np.zeros(40), np.ones(40)])
+    scores = np.concatenate([rng.normal(0.2, 0.1, 40), rng.normal(0.8, 0.1, 40)])
+    ev = ExperimentEvaluator(
+        ExperimentConfig(generate_plots=True, output_dir=str(tmp_path), n_folds=4)
+    )
+    res = ev.cross_validate(labels, scores)
+    assert len(res.artifacts) == 2
+    import os
+
+    assert all(os.path.exists(p) for p in res.artifacts)

@@ -269,3 +269,23 @@ def test_fused_calibration_does_not_recompile(clip, data):
     det.detect_batch(images, texts)
     assert det._serving[1] is step
     assert step._cache_size() == n0
+
+
+def test_ensemble_majority_margin_and_weights(clip, data):
+    """Majority-path aggregated score is the weighted threshold margin,
+    so score>0 agrees with the vote (round-1 weak item 5)."""
+    from tvc.detector import EnsembleDetector
+
+    images, texts = data
+    d1 = make_detector(clip)
+    d2 = make_detector(clip)
+    d1.threshold_manager.update(0.0)  # everything adversarial
+    d2.threshold_manager.update(1.0)  # nothing adversarial
+    ens = EnsembleDetector([d1, d2], strategy="majority", weights=[0.9, 0.1])
+    res = ens.detect_batch(images, texts)
+    assert res.is_adversarial.all()  # d1 carries 0.9 of the vote
+    assert (res.aggregated_score > 0).all()  # margin agrees with the vote
+    ens2 = EnsembleDetector([d1, d2], strategy="majority", weights=[0.1, 0.9])
+    res2 = ens2.detect_batch(images, texts)
+    assert not res2.is_adversarial.any()
+    assert (res2.aggregated_score < 0).all()

@@ -494,25 +494,48 @@ class AdversarialDetector:
 
 
 class EnsembleDetector:
-    """Majority/mean vote over multiple detectors (reference src/detector.py:131-170)."""
+    """Majority/mean vote over multiple detectors (reference src/detector.py:131-170).
 
-    def __init__(self, detectors: Sequence[AdversarialDetector], strategy: str = "mean"):
+    Per-detector thresholds are respected in BOTH strategies (round-1
+    weak item 5): the majority path's aggregated score is the mean
+    threshold MARGIN (score - own threshold; > 0 means adversarial), so
+    the score and the vote agree; the mean path weights both scores and
+    thresholds by the same (optional) per-detector weights.
+    """
+
+    def __init__(
+        self,
+        detectors: Sequence[AdversarialDetector],
+        strategy: str = "mean",
+        weights: Optional[Sequence[float]] = None,
+    ):
         if not detectors:
             raise ValueError("need at least one detector")
+        if weights is not None and len(weights) != len(detectors):
+            raise ValueError("weights must match detectors")
         self.detectors = list(detectors)
         self.strategy = strategy
+        self.weights = (
+            np.asarray(weights, np.float64) / np.sum(weights)
+            if weights is not None
+            else np.full(len(detectors), 1.0 / len(detectors))
+        )
 
     def detect_batch(self, images, texts) -> DetectionResult:
         results = [d.detect_batch(images, texts) for d in self.detectors]
-        scores = np.stack([r.aggregated_score for r in results])
+        scores = np.stack([r.aggregated_score for r in results])  # [M, B]
+        thresholds = np.asarray(
+            [d.threshold_manager.get_threshold() for d in self.detectors]
+        )
+        w = self.weights[:, None]
         if self.strategy == "mean":
-            agg = scores.mean(axis=0)
-            thr = float(np.mean([d.threshold_manager.get_threshold() for d in self.detectors]))
+            agg = (scores * w).sum(axis=0)
+            thr = float((thresholds * self.weights).sum())
             flags = agg > thr
-        else:  # majority
-            votes = np.stack([r.is_adversarial for r in results])
-            flags = votes.mean(axis=0) > 0.5
-            agg = scores.mean(axis=0)
+        else:  # majority: weighted vote; score = mean threshold margin
+            votes = np.stack([r.is_adversarial for r in results]).astype(np.float64)
+            flags = (votes * w).sum(axis=0) > 0.5
+            agg = ((scores - thresholds[:, None]) * w).sum(axis=0)
         return DetectionResult(
             is_adversarial=flags,
             aggregated_score=agg,

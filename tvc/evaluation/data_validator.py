@@ -28,6 +28,13 @@ class DataValidationConfig:
     min_image_std: float = 0.01  # blank-image heuristic
     batch_size: int = 256
     block_size: int = 2048  # similarity matmul blocking
+    # distribution-shift check (reference :30-54 distribution checks)
+    ks_alpha: float = 0.01
+    ks_max_dims: int = 64  # KS-test this many (highest-variance) feature dims
+    shift_ks_fraction: float = 0.5  # flag when > this fraction of dims shift
+    # DBSCAN cluster / outlier check (reference :30-54)
+    dbscan_min_samples: int = 4
+    dbscan_eps: Optional[float] = None  # None -> median kNN distance heuristic
 
 
 @dataclasses.dataclass
@@ -43,6 +50,8 @@ class ValidationResult:
     low_quality_images: List[int]
     passed: bool
     summary: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    distribution_shift: Optional[Dict[str, Any]] = None
+    clusters: Optional[Dict[str, Any]] = None
 
 
 class DataValidator:
@@ -88,12 +97,73 @@ class DataValidator:
                         pairs.append((int(i), int(j), float(sims[i - i0, j - j0])))
         return pairs
 
+    # -- distribution shift (reference :30-54 distribution checks) --------------
+    def check_distribution_shift(
+        self, images_a: np.ndarray, images_b: np.ndarray
+    ) -> Dict[str, Any]:
+        """Feature-space shift between two splits: mean-embedding distance,
+        diagonal Frechet distance, and the fraction of (highest-variance)
+        feature dims a two-sample KS test flags as shifted."""
+        from scipy import stats as sps
+
+        cfg = self.config
+        fa = self._image_features(np.asarray(images_a))
+        fb = self._image_features(np.asarray(images_b))
+        mu_a, mu_b = fa.mean(0), fb.mean(0)
+        var_a, var_b = fa.var(0), fb.var(0)
+        mean_dist = float(np.linalg.norm(mu_a - mu_b))
+        frechet_diag = float(
+            np.sum((mu_a - mu_b) ** 2)
+            + np.sum(var_a + var_b - 2.0 * np.sqrt(np.maximum(var_a * var_b, 0.0)))
+        )
+        dims = np.argsort(-(var_a + var_b))[: cfg.ks_max_dims]
+        shifted = sum(
+            1 for d in dims if sps.ks_2samp(fa[:, d], fb[:, d]).pvalue < cfg.ks_alpha
+        )
+        frac = shifted / max(len(dims), 1)
+        return {
+            "mean_distance": mean_dist,
+            "frechet_diag": frechet_diag,
+            "ks_dims_tested": int(len(dims)),
+            "ks_fraction_shifted": float(frac),
+            "shifted": bool(frac > cfg.shift_ks_fraction),
+        }
+
+    # -- DBSCAN cluster / outlier check (reference :30-54) -----------------------
+    def cluster_check(self, images: np.ndarray) -> Dict[str, Any]:
+        """DBSCAN over image features: cluster count + noise (outlier)
+        indices. eps defaults to the median 4-NN cosine distance."""
+        from sklearn.cluster import DBSCAN
+
+        cfg = self.config
+        feats = self._image_features(np.asarray(images))
+        n = len(feats)
+        if n < cfg.dbscan_min_samples + 1:
+            return {"n_clusters": 0, "outlier_indices": [], "eps": 0.0}
+        eps = cfg.dbscan_eps
+        if eps is None:
+            sims = np.clip(feats @ feats.T, -1.0, 1.0)
+            dists = 1.0 - sims
+            np.fill_diagonal(dists, np.inf)
+            knn = np.sort(dists, axis=1)[:, cfg.dbscan_min_samples - 1]
+            eps = float(np.median(knn) * 1.5) or 0.1
+        labels = DBSCAN(eps=eps, min_samples=cfg.dbscan_min_samples, metric="cosine").fit_predict(feats)
+        outliers = [int(i) for i in np.where(labels == -1)[0]]
+        return {
+            "n_clusters": int(len(set(labels)) - (1 if -1 in labels else 0)),
+            "outlier_indices": outliers,
+            "outlier_fraction": len(outliers) / n,
+            "eps": float(eps),
+        }
+
     # -- checks ------------------------------------------------------------------
     def validate(
         self,
         images: np.ndarray,
         texts: Sequence[str],
         train_images: Optional[np.ndarray] = None,
+        reference_images: Optional[np.ndarray] = None,
+        check_clusters: bool = False,
     ) -> ValidationResult:
         cfg = self.config
         n = len(texts)
@@ -130,7 +200,16 @@ class DataValidator:
                 (int(i), int(j), float(sims[i, j])) for i, j in zip(ii, jj)
             ]
 
-        passed = not (exact or leakage or invalid or low_quality)
+        shift = (
+            self.check_distribution_shift(images, reference_images)
+            if reference_images is not None
+            else None
+        )
+        clusters = self.cluster_check(images) if check_clusters else None
+
+        passed = not (exact or leakage or invalid or low_quality) and not (
+            shift is not None and shift["shifted"]
+        )
         return ValidationResult(
             num_samples=n,
             exact_duplicate_pairs=exact,
@@ -147,5 +226,9 @@ class DataValidator:
                 "leakage": len(leakage),
                 "invalid_captions": len(invalid),
                 "low_quality_images": len(low_quality),
+                **({"distribution_shifted": shift["shifted"]} if shift else {}),
+                **({"n_clusters": clusters["n_clusters"]} if clusters else {}),
             },
+            distribution_shift=shift,
+            clusters=clusters,
         )

@@ -72,6 +72,9 @@ class ExperimentEvaluator:
                 vals, n_bootstrap=cfg.n_bootstrap, confidence=cfg.confidence_level,
                 seed=cfg.seed,
             )
+        artifacts: List[str] = []
+        if cfg.generate_plots:
+            artifacts = self._plots(labels, scores)
         return ExperimentResult(
             metrics={
                 "auroc": overall.auroc,
@@ -81,7 +84,27 @@ class ExperimentEvaluator:
             },
             fold_metrics=fold_metrics,
             confidence_intervals=cis,
+            artifacts=artifacts,
         )
+
+    def _plots(self, labels: np.ndarray, scores: np.ndarray) -> List[str]:
+        """ROC + score-distribution PNGs into output_dir (reference
+        ExperimentConfig plots, :68-71)."""
+        from tvc.utils.visualization import VisualizationManager
+
+        paths: List[str] = []
+        try:
+            viz = VisualizationManager(output_dir=self.config.output_dir)
+            paths.append(viz.plot_roc_curve(labels, scores))
+            if np.any(labels == 1) and np.any(labels == 0):
+                paths.append(
+                    viz.plot_score_distribution(
+                        scores[labels == 0], scores[labels == 1]
+                    )
+                )
+        except Exception:  # matplotlib backend issues must not fail evaluation
+            pass
+        return paths
 
     def compare_methods(
         self,

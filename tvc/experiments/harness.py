@@ -358,8 +358,20 @@ class ExperimentHarness:
         return {"ablation_study": results}
 
     def run_efficiency_analysis(self) -> Dict[str, Any]:
-        """Per-module timing (reference :3005-3358)."""
+        """Per-module timing (reference :3005-3358), with a ``jax.profiler``
+        trace of one full pass (SURVEY §5.1 rebuild note) — open the
+        artifact dir with TensorBoard / xprof to see the device timeline."""
         pipe = self.make_pipeline()
+        trace_dir = str(Path(self.config.output_dir) / "profiler_trace")
+        trace_ok = False
+        try:
+            import jax
+
+            with jax.profiler.trace(trace_dir):
+                pipe.process_batch(self.images, list(self.texts))
+            trace_ok = True
+        except Exception:
+            pass  # profiling must never fail the experiment
         timings: Dict[str, List[float]] = {}
         repeat = 3
         for _ in range(repeat):
@@ -392,6 +404,7 @@ class ExperimentHarness:
             "efficiency_analysis": out,
             "hardware": HardwareDetector().summary(),
             "num_samples": n,
+            "profiler_trace_dir": trace_dir if trace_ok else None,
         }
 
     def run_retrieval_quality(self) -> Dict[str, Any]:

@@ -164,7 +164,29 @@ def load_clip_weights(config=None, path: Optional[str] = None):
     config = config or CLIPConfig()
     sd = load_state_dict(path)
     params = convert_clip_state_dict(sd, config)
-    return CLIPModel(config, params=params)
+    model = CLIPModel(config, params=params)
+    _warn_hash_tokenizer(model.tokenizer, "CLIP", "$TVC_CLIP_BPE")
+    return model
+
+
+def _warn_hash_tokenizer(tokenizer, what: str, env_hint: str) -> None:
+    """Real weights + the hash-fallback tokenizer silently produce garbage
+    embeddings (round-1 weak item 8): warn loudly, or hard-fail with
+    $TVC_STRICT_TOKENIZER=1."""
+    from tvc.models.tokenizer import HashTokenizer
+
+    if not isinstance(tokenizer, HashTokenizer):
+        return
+    msg = (
+        f"{what} weights are REAL but the tokenizer is the semantically "
+        f"meaningless hash fallback — text embeddings will be garbage. "
+        f"Provide the vocab/merges files ({env_hint})."
+    )
+    if os.environ.get("TVC_STRICT_TOKENIZER"):
+        raise RuntimeError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=3)
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +240,9 @@ def load_qwen_weights(config=None, path: Optional[str] = None):
     config = config or QwenConfig()
     sd = load_state_dict(path)
     params = convert_qwen_state_dict(sd, config)
-    return QwenModel(config, params=params)
+    model = QwenModel(config, params=params)
+    _warn_hash_tokenizer(model.tokenizer, "Qwen", "$TVC_QWEN_TOKENIZER")
+    return model
 
 
 # ---------------------------------------------------------------------------
