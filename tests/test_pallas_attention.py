@@ -51,3 +51,83 @@ def test_block_heads_non_divisible(rng):
     )
     want = oracle(q, q, q)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_layer_parity():
+    """The fully fused attention-layer kernel (LN+QKV+MHA+out+residual)
+    must match the flax module path on the same params."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tvc.models.clip import CLIPConfig, CLIPModel, normalize_pixels, vision_features_fused
+
+    cfg = dataclasses.replace(CLIPConfig.tiny(), fused_attention=False)
+    model = CLIPModel(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    pixels = normalize_pixels(
+        jnp.asarray(rng.random((4, cfg.image_size, cfg.image_size, 3)), jnp.float32)
+    )
+    want = np.asarray(model.image_features(model.params, pixels))
+    got = np.asarray(vision_features_fused(model.params, cfg, pixels))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_fused_attention_layer_block_sizes():
+    """Parity holds for batch sizes that do not divide block_b."""
+    import jax.numpy as jnp
+
+    from tvc.core.pallas.attention_layer_kernel import fused_attention_layer
+
+    rng = np.random.default_rng(1)
+    B, T, W, H = 6, 10, 64, 2
+    x = jnp.asarray(rng.normal(size=(B, T, W)), jnp.float32)
+    ln_s = jnp.asarray(rng.normal(size=(W,)), jnp.float32)
+    ln_b = jnp.asarray(rng.normal(size=(W,)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(0, 0.05, size=(W, 3 * W)), jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * W,)), jnp.float32)
+    wout = jnp.asarray(rng.normal(0, 0.05, size=(W, W)), jnp.float32)
+    bout = jnp.asarray(rng.normal(size=(W,)), jnp.float32)
+
+    def oracle():
+        xf = np.asarray(x, np.float64)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        h = (xf - mean) / np.sqrt(var + 1e-5) * np.asarray(ln_s) + np.asarray(ln_b)
+        qkv = h @ np.asarray(wqkv) + np.asarray(bqkv)
+        q, k, v = np.split(qkv, 3, axis=-1)
+        D = W // H
+        outs = []
+        for g in range(H):
+            qg = q[..., g * D : (g + 1) * D]
+            kg = k[..., g * D : (g + 1) * D]
+            vg = v[..., g * D : (g + 1) * D]
+            lg = qg @ kg.transpose(0, 2, 1) / np.sqrt(D)
+            w = np.exp(lg - lg.max(-1, keepdims=True))
+            w = w / w.sum(-1, keepdims=True)
+            outs.append(w @ vg)
+        o = np.concatenate(outs, -1) @ np.asarray(wout) + np.asarray(bout)
+        return xf + o
+
+    got = np.asarray(
+        fused_attention_layer(x, ln_s, ln_b, wqkv, bqkv, wout, bout, heads=H, block_b=4)
+    )
+    np.testing.assert_allclose(got, oracle(), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_text_tower_parity():
+    """Fused causal attention-layer text tower matches the module path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tvc.models.clip import CLIPConfig, CLIPModel, text_features_fused
+
+    cfg = dataclasses.replace(CLIPConfig.tiny(), fused_attention=False)
+    model = CLIPModel(cfg, seed=0)
+    tokens = jnp.asarray(
+        model.tokenize([f"sample text {i} with words" for i in range(6)])
+    )
+    want = np.asarray(model.text_features(model.params, tokens))
+    got = np.asarray(text_features_fused(model.params, cfg, tokens))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

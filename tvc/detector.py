@@ -270,15 +270,15 @@ class AdversarialDetector:
         pixels = self._raw_pixels(images)
         tokens = np.asarray(self.model.tokenize(list(texts)))
         var_tokens, var_mask = self._variant_tokens(texts)
-        # sequence bucketing: encode at the smallest 32-multiple covering
-        # the real tokens (few shapes => few compiles; text FLOPs ~2.4x
-        # lower than always padding to the full context)
+        # sequence bucketing: encode at the smallest 8-multiple covering
+        # the real tokens (few shapes => few compiles; text FLOPs drop
+        # several-fold vs always padding to the full 77-token context)
         real = max(
             int((tokens != 0).sum(-1).max()),
             int((var_tokens != 0).sum(-1).max()),
             1,
         )
-        T_b = min(-(-real // 32) * 32, tokens.shape[-1])
+        T_b = min(-(-real // 8) * 8, tokens.shape[-1])
         tokens = tokens[:, :T_b]
         var_tokens = var_tokens[:, :, :T_b]
 

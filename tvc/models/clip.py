@@ -288,6 +288,135 @@ class CLIPModule(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# hand-scheduled inference vision tower (serving hot path)
+# ---------------------------------------------------------------------------
+
+
+def _layernorm_f32(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale.astype(
+        jnp.float32
+    ) + bias.astype(jnp.float32)
+
+
+def vision_features_fused(params: Dict, cfg: CLIPConfig, pixels: Array) -> Array:
+    """Inference-only ViT forward with each attention sub-block as ONE
+    fused Pallas kernel (LN + QKV + per-head attention + out-proj +
+    residual, tvc/core/pallas/attention_layer_kernel.py).
+
+    Same math as ``VisionTower.__call__`` on the SAME param tree; round-1
+    profiling showed attention HBM round-trips dominate the defended step
+    (docs/architecture.md), so the serving path hand-schedules them away.
+    pixels: CLIP-normalized [B, H, W, 3]. Returns [B, embed_dim] f32
+    (unnormalized features).
+    """
+    from tvc.core.pallas.attention_layer_kernel import (
+        fused_attention_layer,
+        fused_mlp_layer,
+    )
+
+    v = params["visual"]
+    dtype = cfg.dtype
+    x = jax.lax.conv_general_dilated(
+        pixels.astype(dtype),
+        v["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    B = x.shape[0]
+    x = x.reshape(B, -1, cfg.vision_width)
+    cls = jnp.broadcast_to(
+        v["class_embedding"].astype(dtype), (B, 1, cfg.vision_width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["positional_embedding"].astype(dtype)
+    x = _layernorm_f32(x, v["ln_pre"]["scale"], v["ln_pre"]["bias"]).astype(dtype)
+    for i in range(cfg.vision_layers):
+        blk = v["transformer"][f"block_{i}"]
+        x = fused_attention_layer(
+            x,
+            blk["ln_1"]["scale"],
+            blk["ln_1"]["bias"],
+            # pre-cast: weight blocks live VMEM-resident across grid steps,
+            # bf16 halves their footprint
+            blk["attn"]["qkv"]["kernel"].astype(dtype),
+            blk["attn"]["qkv"]["bias"].astype(jnp.float32),
+            blk["attn"]["out"]["kernel"].astype(dtype),
+            blk["attn"]["out"]["bias"].astype(jnp.float32),
+            heads=cfg.vision_heads,
+        )
+        x = fused_mlp_layer(
+            x,
+            blk["ln_2"]["scale"],
+            blk["ln_2"]["bias"],
+            blk["mlp"]["fc"]["kernel"].astype(dtype),
+            blk["mlp"]["fc"]["bias"].astype(jnp.float32),
+            blk["mlp"]["proj"]["kernel"].astype(dtype),
+            blk["mlp"]["proj"]["bias"].astype(jnp.float32),
+        )
+    x = _layernorm_f32(x[:, 0, :], v["ln_post"]["scale"], v["ln_post"]["bias"])
+    return jnp.dot(
+        x, v["proj"].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+
+def text_features_fused(params: Dict, cfg: CLIPConfig, tokens: Array) -> Array:
+    """Inference-only text-tower forward with fused attention layers
+    (causal). Same math as ``TextTower.__call__`` on the same param tree.
+
+    The VARIANT text encode is the defended step's biggest stage (B*V
+    sequences per batch); at T~32 the per-layer HBM round-trips dominate
+    even more than in the vision tower.
+    """
+    from tvc.core.pallas.attention_layer_kernel import (
+        fused_attention_layer,
+        fused_mlp_layer,
+    )
+
+    t = params["text"]
+    dtype = cfg.dtype
+    emb = t["token_embedding"]["embedding"].astype(dtype)
+    x = jnp.take(emb, tokens, axis=0)  # [B, T, W]
+    T = tokens.shape[1]
+    x = x + t["positional_embedding"][:T].astype(dtype)
+    for i in range(cfg.text_layers):
+        blk = t["transformer"][f"block_{i}"]
+        x = fused_attention_layer(
+            x,
+            blk["ln_1"]["scale"],
+            blk["ln_1"]["bias"],
+            blk["attn"]["qkv"]["kernel"].astype(dtype),
+            blk["attn"]["qkv"]["bias"].astype(jnp.float32),
+            blk["attn"]["out"]["kernel"].astype(dtype),
+            blk["attn"]["out"]["bias"].astype(jnp.float32),
+            heads=cfg.text_heads,
+            causal=True,
+            # VMEM budget: larger batch blocks for shorter sequences
+            block_b=64 if T <= 16 else (32 if T <= 32 else 16),
+        )
+        x = fused_mlp_layer(
+            x,
+            blk["ln_2"]["scale"],
+            blk["ln_2"]["bias"],
+            blk["mlp"]["fc"]["kernel"].astype(dtype),
+            blk["mlp"]["fc"]["bias"].astype(jnp.float32),
+            blk["mlp"]["proj"]["kernel"].astype(dtype),
+            blk["mlp"]["proj"]["bias"].astype(jnp.float32),
+            block_b=16 if T <= 32 else 8,
+        )
+    x = _layernorm_f32(x, t["ln_final"]["scale"], t["ln_final"]["bias"])
+    eot = jnp.argmax(tokens, axis=-1)
+    x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return jnp.dot(
+        x, t["text_projection"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
 # host-side preprocessing
 # ---------------------------------------------------------------------------
 
@@ -401,24 +530,36 @@ class CLIPModel:
             )
         self.tokenizer = tokenizer
 
-        # inference encodes use the fused-MHA vision tower when enabled
-        # (same param tree; no VJP, so gradients stay on self.module)
+        # inference encodes use the fused attention-LAYER vision path when
+        # enabled (same param tree; no VJP, so gradients stay on self.module)
         self._infer_module = CLIPModule(self.config)
-        #: public handle for building custom inference programs (fused
-        #: attention when config.fused_attention; NOT differentiable then)
+        #: public handle for building custom inference programs (NOT
+        #: differentiable when config.fused_attention)
         self.inference_module = self._infer_module
-        self._encode_image = jax.jit(
-            lambda p, x: self._infer_module.apply(
-                {"params": p}, x, method=CLIPModule.encode_image
-            )
-        )
-        self._encode_text = jax.jit(
-            lambda p, t: self._infer_module.apply(
-                {"params": p}, t, method=CLIPModule.encode_text
-            )
-        )
+        self._encode_image = jax.jit(self.infer_image_features)
+        self._encode_text = jax.jit(self.infer_text_features)
 
     # -- functional core (for attacks / pipelines) --------------------------
+    def infer_image_features(self, params: Dict, pixels: Array) -> Array:
+        """INFERENCE image features on CLIP-normalized pixels: the fused
+        Pallas attention-layer path when config.fused_attention, else the
+        standard module. Not differentiable in fused mode — gradients use
+        ``image_features``."""
+        if self.config.fused_attention:
+            return vision_features_fused(params, self.config, pixels)
+        return self._infer_module.apply(
+            {"params": params}, pixels, method=CLIPModule.encode_image
+        )
+
+    def infer_text_features(self, params: Dict, tokens: Array) -> Array:
+        """INFERENCE text features: fused Pallas path when
+        config.fused_attention, else the standard module."""
+        if self.config.fused_attention:
+            return text_features_fused(params, self.config, tokens)
+        return self._infer_module.apply(
+            {"params": params}, tokens, method=CLIPModule.encode_text
+        )
+
     def image_features(self, params: Dict, pixels: Array) -> Array:
         """Pure fn: CLIP-normalized pixels [B,H,W,3] -> [B,E]. Differentiable
         (this replaces the reference's encode_image_tensor(requires_grad))."""

@@ -78,12 +78,24 @@ def make_serving_step(
         # mesh the pure-jnp math shards cleanly and XLA fuses it anyway
         use_kernel = mesh is None and jax.default_backend() == "tpu"
 
+    # fused Pallas vision path only off-mesh (pallas_call has no SPMD
+    # partitioning rule; under a mesh XLA runs the module path)
+    fused_vision = mesh is None
+
     def encode_image(params, px):
+        if fused_vision:
+            return l2_normalize(
+                model.infer_image_features(params, normalize_pixels(px))
+            )
         return l2_normalize(
-            module.apply({"params": params}, normalize_pixels(px), method=CLIPModule.encode_image)
+            module.apply(
+                {"params": params}, normalize_pixels(px), method=CLIPModule.encode_image
+            )
         )
 
     def encode_text(params, tok):
+        if fused_vision:
+            return l2_normalize(model.infer_text_features(params, tok))
         return l2_normalize(
             module.apply({"params": params}, tok, method=CLIPModule.encode_text)
         )
