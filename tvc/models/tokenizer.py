@@ -1,27 +1,36 @@
-"""Text tokenizers for the CLIP text tower.
+"""Text tokenizers for the CLIP text tower and the Qwen LM.
 
-Two implementations:
+Implementations:
 
-* ``BPETokenizer`` — byte-pair-encoding compatible with CLIP checkpoints;
-  requires a vocab/merges file on disk (gated: the default environment is
-  zero-egress, so pretrained assets may be absent).
+* ``BPETokenizer`` — byte-pair-encoding matching the published CLIP
+  tokenizer. The REAL vocab.json + merges.txt are bundled under
+  ``tvc/assets/clip_tokenizer/`` (public OpenAI-CLIP artifacts), so the
+  BPE path is the DEFAULT for real-shape CLIP configs — token ids are
+  numerically identical to ``transformers.CLIPTokenizer`` (parity test in
+  tests/test_tokenizer_assets.py).
+* ``HFTokenizerWrapper`` — transformers tokenizer loaded from LOCAL files
+  (zero egress), adapted to the tvc contract; the Qwen2 tokenizer assets
+  are bundled under ``tvc/assets/qwen_tokenizer/``.
 * ``HashTokenizer`` — deterministic, dependency-free fallback: words hash
-  into the vocab range. Exactly reproducible across processes (stable
-  FNV-1a, not python ``hash``). Semantically meaningless but
-  distribution-preserving enough for architecture, attack-loop, and
-  pipeline correctness work with random-weight models.
+  into the vocab range (tiny test configs and any vocab without bundled
+  assets). Exactly reproducible across processes (stable FNV-1a).
 
-Both produce fixed-length int32 ``[B, context_length]`` with
-``sot = vocab-2`` and ``eot = vocab-1`` so CLIP's take-feature-at-argmax
-convention (tvc/models/clip.py TextTower) always selects the EOT position.
+All produce fixed-length int32 ``[B, context_length]``; CLIP's
+take-feature-at-argmax convention (tvc/models/clip.py TextTower) holds
+because EOT is the highest id in both the real CLIP vocab (49407) and the
+hash fallback (vocab-1).
 """
 
 from __future__ import annotations
 
+import json
 import os
+from pathlib import Path
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
+
+ASSET_DIR = Path(__file__).resolve().parent.parent / "assets"
 
 
 def _fnv1a(word: str) -> int:
@@ -76,12 +85,14 @@ class BPETokenizer:
         merges_path: str,
         vocab_size: int = 49408,
         context_length: int = 77,
+        vocab_path: Optional[str] = None,
     ):
+        """vocab_path: an HF ``vocab.json`` with the authoritative
+        token->id mapping (preferred); without it the vocab is
+        reconstructed OpenAI-style from byte units + merges."""
         self.vocab_size = vocab_size
         self.context_length = context_length
         byte_list = self._bytes_to_unicode()
-        vocab = list(byte_list.values())
-        vocab.extend([v + "</w>" for v in vocab])
         merges: List[tuple] = []
         with open(merges_path, "r", encoding="utf-8") as f:
             lines = f.read().split("\n")
@@ -90,11 +101,17 @@ class BPETokenizer:
             parts = line.strip().split()
             if len(parts) == 2:
                 merges.append(tuple(parts))
-        merges = merges[: vocab_size - len(vocab) - 2]
-        for m in merges:
-            vocab.append("".join(m))
-        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
-        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        if vocab_path:
+            with open(vocab_path, encoding="utf-8") as f:
+                self.encoder = json.load(f)
+        else:
+            vocab = list(byte_list.values())
+            vocab.extend([v + "</w>" for v in vocab])
+            merges = merges[: vocab_size - len(vocab) - 2]
+            for m in merges:
+                vocab.append("".join(m))
+            vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+            self.encoder = {tok: i for i, tok in enumerate(vocab)}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.byte_encoder = byte_list
         self.sot_id = self.encoder["<|startoftext|>"]
@@ -170,14 +187,87 @@ class BPETokenizer:
         return out
 
 
+class HFTokenizerWrapper:
+    """transformers tokenizer from LOCAL files, adapted to the tvc
+    contract: ``__call__(texts) -> [B, context_length] int32`` right-padded,
+    with ``pad_id``/``sot_id``/``eot_id`` attributes and ``decode``."""
+
+    def __init__(self, path: str, context_length: int = 512):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(str(path))
+        self.context_length = context_length
+        self.vocab_size = len(self.tok)
+        eos = self.tok.eos_token_id
+        pad = self.tok.pad_token_id
+        self.eot_id = eos if eos is not None else self.vocab_size - 1
+        self.pad_id = pad if pad is not None else self.eot_id
+        bos = self.tok.bos_token_id
+        self.sot_id = bos if bos is not None else self.eot_id
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.full(
+            (len(texts), self.context_length), self.pad_id, dtype=np.int32
+        )
+        for i, t in enumerate(texts):
+            ids = self.tok.encode(t, add_special_tokens=False)[
+                : self.context_length
+            ]
+            out[i, : len(ids)] = ids
+        return out
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.tok.decode(
+            [int(i) for i in ids if int(i) != self.pad_id],
+            skip_special_tokens=True,
+        )
+
+
+#: real Qwen2 tokenizer vocab size (bundled assets)
+QWEN2_VOCAB = 151936
+
+
 def get_tokenizer(
     vocab_size: int = 49408,
     context_length: int = 77,
     merges_path: Optional[str] = None,
 ) -> Callable[[Sequence[str]], np.ndarray]:
-    """Return the best available tokenizer: BPE when a merges file exists
-    (path arg or $TVC_CLIP_BPE), else the deterministic hash fallback."""
-    merges_path = merges_path or os.environ.get("TVC_CLIP_BPE")
-    if merges_path and os.path.exists(merges_path) and vocab_size == 49408:
-        return BPETokenizer(merges_path, vocab_size, context_length)
+    """Return the best available tokenizer for the vocab size.
+
+    * 49408 (CLIP): the REAL BPE by default — bundled assets under
+      tvc/assets/clip_tokenizer/, overridable via arg or $TVC_CLIP_BPE;
+    * 151936 (Qwen2): the real Qwen2 tokenizer — bundled assets under
+      tvc/assets/qwen_tokenizer/, overridable via $TVC_QWEN_TOKENIZER
+      (a merges.txt path or an HF tokenizer directory);
+    * anything else (tiny test configs): the deterministic hash fallback.
+    """
+    if vocab_size == 49408:
+        merges_path = merges_path or os.environ.get("TVC_CLIP_BPE")
+        if merges_path and os.path.exists(merges_path):
+            vocab_json = Path(merges_path).parent / "vocab.json"
+            return BPETokenizer(
+                merges_path, vocab_size, context_length,
+                vocab_path=str(vocab_json) if vocab_json.exists() else None,
+            )
+        bundled = ASSET_DIR / "clip_tokenizer"
+        if (bundled / "merges.txt").exists():
+            return BPETokenizer(
+                str(bundled / "merges.txt"), vocab_size, context_length,
+                vocab_path=str(bundled / "vocab.json"),
+            )
+    if vocab_size == QWEN2_VOCAB:
+        for cand in (
+            merges_path or os.environ.get("TVC_QWEN_TOKENIZER"),
+            ASSET_DIR / "qwen_tokenizer",
+        ):
+            if not cand:
+                continue
+            p = Path(cand)
+            if p.is_file():  # legacy: a merges.txt path -> use its directory
+                p = p.parent
+            if (p / "vocab.json").exists():
+                try:
+                    return HFTokenizerWrapper(str(p), context_length)
+                except Exception:
+                    continue
     return HashTokenizer(vocab_size, context_length)
