@@ -104,3 +104,48 @@ def test_graft_entry_forward():
     # possible (entry pins ViT-B/32); just validate the callable contract
     fn, args = g.entry()
     assert callable(fn) and len(args) == 3
+
+
+def test_serving_step_mesh_matches_single_device(mesh, model):
+    """make_serving_step under the 8-device mesh == single-device, with
+    ragged variant masks and two-sided thresholds."""
+    import jax.numpy as jnp
+
+    from tvc.parallel.steps import make_serving_step
+
+    cfg = model.config
+    rng = np.random.default_rng(5)
+    B, V, k, rows = 8, 3, 4, 64
+    bank = rng.normal(size=(rows, cfg.embed_dim)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    pixels = rng.random((B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    tokens = np.asarray(model.tokenize([f"query {i}" for i in range(B)]))
+    vtok = np.zeros((B, V, tokens.shape[1]), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for i in range(B):
+        n = 1 + i % V
+        vt = np.asarray(model.tokenize([f"v{j} query {i}" for j in range(n)]))
+        vtok[i, :n, : vt.shape[1]] = vt
+        vmask[i, :n] = True
+    valid = np.ones((rows,), bool)
+    weights = np.asarray([0.4, 0.4, 0.2], np.float32)
+    lo, hi = np.float32(0.05), np.float32(0.6)
+
+    single = make_serving_step(model, mesh=None, top_k=k, use_kernel=False)
+    sharded = make_serving_step(model, mesh=mesh, top_k=k)
+    a = single(model.params, pixels, tokens, vtok, vmask, bank, valid, weights, lo, hi)
+    b = sharded(
+        model.params, jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(vtok),
+        jnp.asarray(vmask), jnp.asarray(bank), jnp.asarray(valid), jnp.asarray(weights), lo, hi,
+    )
+    np.testing.assert_array_equal(np.asarray(a["ref_idx"]), np.asarray(b["ref_idx"]))
+    np.testing.assert_allclose(
+        np.asarray(a["aggregated"]), np.asarray(b["aggregated"]), atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["is_adversarial"]), np.asarray(b["is_adversarial"])
+    )
+    # two-sided decision actually fires on both sides
+    agg = np.asarray(a["aggregated"])
+    flags = np.asarray(a["is_adversarial"])
+    np.testing.assert_array_equal(flags, (agg > hi) | (agg < lo))

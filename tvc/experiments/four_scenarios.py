@@ -112,8 +112,12 @@ class FourScenariosExperiment:
 
             return CWAttacker(
                 self.model,
+                # reduced from the reference's 1000x9 for experiment wall
+                # time, but strong enough to actually break the trained
+                # fixture (c0=1e-3 with <=100 iters never converges there)
                 self._attack_cfg(
-                    CWAttackConfig, name, max_iterations=100, binary_search_steps=3
+                    CWAttackConfig, name,
+                    max_iterations=300, binary_search_steps=5, initial_const=0.01,
                 ),
             )
         if name == "fsta":
