@@ -172,8 +172,12 @@ def main():
     import dataclasses
 
     small = "--small" in sys.argv
+    # int8 serving (W8A8 dynamic, tvc/core/pallas/quantized_layer_kernel.py)
+    # is the default headline path: ~1.2x end-to-end on v5e with flag
+    # agreement 1.0 vs bf16 (measured; docs/architecture.md). --bf16 reverts.
+    int8 = "--bf16" not in sys.argv and not small
     cfg = CLIPConfig.tiny() if small else dataclasses.replace(
-        CLIPConfig(), fused_attention=True
+        CLIPConfig(), fused_attention=True, int8_serving=int8
     )
     B = 64 if small else 256
     V = 6
@@ -219,15 +223,20 @@ def main():
     params = model.params
 
     def _defended_core(params, pixels, tokens, variant_tokens, bank):
-        # fused attention-LAYER paths (one Pallas kernel per block)
+        # fused attention-LAYER paths (one Pallas kernel per block; int8
+        # projection GEMMs when cfg.int8_serving)
         img = l2_normalize(
             model.infer_image_features(params, normalize_pixels(pixels))
         )
-        txt = l2_normalize(model.infer_text_features(params, tokens))
         b, v, t = variant_tokens.shape
-        var = l2_normalize(
-            model.infer_text_features(params, variant_tokens.reshape(b * v, t))
-        ).reshape(b, v, -1)
+        # ONE text-tower pass for originals + variants
+        all_tok = jnp.concatenate(
+            [tokens[:, None, :], variant_tokens], axis=1
+        ).reshape(b * (v + 1), t)
+        allf = l2_normalize(
+            model.infer_text_features(params, all_tok)
+        ).reshape(b, v + 1, -1)
+        txt, var = allf[:, 0], allf[:, 1:]
         # retrieval references: exact top-k over the bank (one MXU matmul);
         # text-query retrieval (the text fetches what the image SHOULD look
         # like, reference src/pipeline.py:441-472)
@@ -416,6 +425,7 @@ def main():
                 "bank_size": BANK_N,
                 "backend": backend,
                 "model": cfg.model_name,
+                "serving_precision": "int8-w8a8" if cfg.int8_serving else "bf16",
                 **full,
             }
         ),

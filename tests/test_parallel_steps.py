@@ -55,7 +55,9 @@ def test_train_step_reduces_loss(mesh, model):
     pixels = jnp.asarray(rng.random((B, cfg.image_size, cfg.image_size, 3)), jnp.float32)
     tokens = jnp.asarray(model.tokenize([f"sample {i}" for i in range(B)]))
     step, opt_state = make_train_step(model, mesh)
-    params = model.params
+    # the train step donates (params, opt_state) — train on a copy so the
+    # module-scoped fixture's buffers aren't deleted for later tests
+    params = jax.tree.map(jnp.copy, model.params)
     losses = []
     for _ in range(5):
         params, opt_state, loss = step(params, opt_state, pixels, tokens)

