@@ -145,9 +145,9 @@ class AdversarialDetector:
         D = self.model.config.embed_dim
         if self.text_augmenter is None:
             return np.zeros((B, V, D), np.float32), np.zeros((B, V), bool)
-        variant_lists = [
-            self.text_augmenter.generate_variants(t, V) for t in texts
-        ]
+        # batched path: one Qwen decode batch for ALL queries' paraphrases
+        # (TextAugmenter.batch_generate_variants), then one device encode
+        variant_lists = self.text_augmenter.batch_generate_variants(texts, V)
         flat = [v for vl in variant_lists for v in vl]
         emb = np.zeros((B, V, D), np.float32)
         mask = np.zeros((B, V), bool)
@@ -227,9 +227,9 @@ class AdversarialDetector:
         mask = np.zeros((B, V), bool)
         if self.text_augmenter is None or "text_variants" not in cfg.methods:
             return tokens[:, :1], mask[:, :1]
-        variant_lists = [
-            self.text_augmenter.generate_variants(t, V) for t in texts
-        ]
+        # batched path: one Qwen decode batch for ALL queries' paraphrases
+        # (TextAugmenter.batch_generate_variants), then one device encode
+        variant_lists = self.text_augmenter.batch_generate_variants(texts, V)
         flat = [v for vl in variant_lists for v in vl]
         if flat:
             flat_tok = np.asarray(self.model.tokenize(flat))

@@ -268,16 +268,28 @@ class FourScenariosExperiment:
             adv_scores = self.pipeline.process_batch(
                 adv_images[self.config.attacks[0]], texts
             ).scores
-            calibrated_threshold = self.pipeline.detector.compute_optimal_threshold(
+            # Youden-J vs the first attack (the reference's offline tool,
+            # src/detector.py:736-790) — reported, but NOT used for the
+            # serving decision: a Youden threshold calibrated against a
+            # strong attack (e.g. 50-step PGD) sits far above the clean
+            # band and silently misses weaker attacks (measured: FGSM
+            # detection 0.88 -> 0.58 when PGD got stronger). Deployment
+            # can't know the attack; the decision thresholds come from the
+            # attack-independent clean band at a target FPR instead.
+            youden = self.pipeline.detector.compute_optimal_threshold(
                 clean_scores, adv_scores
             )
             if self.config.two_sided:
-                lo, _ = self.pipeline.detector.calibrate_two_sided(
+                lo, hi = self.pipeline.detector.calibrate_two_sided(
                     clean_scores, quantile=0.98
                 )
-                # keep the Youden upper threshold, add the clean lower band
-                self.pipeline.detector.threshold_manager.update(calibrated_threshold)
-                calibrated_threshold = {"upper": calibrated_threshold, "lower": lo}
+                calibrated_threshold = {
+                    "upper": hi,
+                    "lower": lo,
+                    "youden_vs_first_attack": youden,
+                }
+            else:
+                calibrated_threshold = youden
         s1 = self.scenario_1_attack_no_defense(images, texts, adv_images)
         s2 = self.scenario_2_clean_no_defense(images, texts)
         s3 = self.scenario_3_clean_with_defense(images, texts, s2["baseline_time"])
