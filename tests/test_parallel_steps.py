@@ -151,3 +151,50 @@ def test_serving_step_mesh_matches_single_device(mesh, model):
     agg = np.asarray(a["aggregated"])
     flags = np.asarray(a["is_adversarial"])
     np.testing.assert_array_equal(flags, (agg > hi) | (agg < lo))
+
+
+def test_serving_step_mesh_fused_int8_matches_single_device(mesh):
+    """The mesh serving path runs the SAME fused int8 tower kernels as
+    single-chip (shard_map over the data axis; pallas interpret mode on
+    the CPU mesh) and matches the single-device program."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tvc.models import CLIPConfig, CLIPModel
+    from tvc.parallel.steps import make_serving_step
+
+    cfg = dataclasses.replace(
+        CLIPConfig.tiny(), fused_attention=True, int8_serving=True,
+        dtype=jnp.float32,
+    )
+    model = CLIPModel(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    B, V, k, rows = 8, 2, 3, 32
+    bank = rng.normal(size=(rows, cfg.embed_dim)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    pixels = rng.random((B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    tokens = np.asarray(model.tokenize([f"query {i}" for i in range(B)]))
+    vtok = np.stack(
+        [np.asarray(model.tokenize([f"v{j} q{i}" for j in range(V)])) for i in range(B)]
+    )
+    vmask = np.ones((B, V), bool)
+    valid = np.ones((rows,), bool)
+    weights = np.asarray([0.4, 0.4, 0.2], np.float32)
+    lo, hi = np.float32(0.05), np.float32(0.6)
+
+    single = make_serving_step(model, mesh=None, top_k=k, use_kernel=False)
+    sharded = make_serving_step(model, mesh=mesh, top_k=k)
+    a = single(model.params, pixels, tokens, vtok, vmask, bank, valid, weights, lo, hi)
+    b = sharded(
+        model.params, jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(vtok),
+        jnp.asarray(vmask), jnp.asarray(bank), jnp.asarray(valid),
+        jnp.asarray(weights), lo, hi,
+    )
+    np.testing.assert_array_equal(np.asarray(a["ref_idx"]), np.asarray(b["ref_idx"]))
+    np.testing.assert_allclose(
+        np.asarray(a["aggregated"]), np.asarray(b["aggregated"]), atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["is_adversarial"]), np.asarray(b["is_adversarial"])
+    )

@@ -78,26 +78,37 @@ def make_serving_step(
         # mesh the pure-jnp math shards cleanly and XLA fuses it anyway
         use_kernel = mesh is None and jax.default_backend() == "tpu"
 
-    # fused Pallas vision path only off-mesh (pallas_call has no SPMD
-    # partitioning rule; under a mesh XLA runs the module path)
-    fused_vision = mesh is None
-
-    def encode_image(params, px):
-        if fused_vision:
-            return l2_normalize(
-                model.infer_image_features(params, normalize_pixels(px))
-            )
+    def _enc_image(params, px):
         return l2_normalize(
-            module.apply(
-                {"params": params}, normalize_pixels(px), method=CLIPModule.encode_image
-            )
+            model.infer_image_features(params, normalize_pixels(px))
         )
 
-    def encode_text(params, tok):
-        if fused_vision:
-            return l2_normalize(model.infer_text_features(params, tok))
-        return l2_normalize(
-            module.apply({"params": params}, tok, method=CLIPModule.encode_text)
+    def _enc_text(params, tok):
+        return l2_normalize(model.infer_text_features(params, tok))
+
+    if mesh is None:
+        encode_image, encode_text = _enc_image, _enc_text
+    else:
+        # pallas_call has no SPMD partitioning rule, so the fused (and
+        # int8) towers can't sit inside a pjit-partitioned program
+        # directly. shard_map runs the SAME single-chip tower kernels
+        # per-device on each device's batch shard — multi-chip serving
+        # uses the identical hot-path kernels (config.fused_attention /
+        # config.int8_serving decide, exactly as off-mesh; the module
+        # path is used when fused attention is off, e.g. tiny configs).
+        encode_image = jax.shard_map(
+            _enc_image,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None, None, None)),
+            out_specs=P(DATA_AXIS, None),
+            check_vma=False,
+        )
+        encode_text = jax.shard_map(
+            _enc_text,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=P(DATA_AXIS, None),
+            check_vma=False,
         )
 
     def bank_topk_local(queries, bank, valid):
