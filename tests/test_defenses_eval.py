@@ -305,3 +305,46 @@ def test_evaluator_generate_plots(tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in res.artifacts)
+
+
+def test_analysis_family_aware(tmp_path):
+    """Family-aware parsing of a REAL comprehensive-mode artifact: every
+    mode becomes its own table; key findings + dashboard are emitted
+    (reference analysis/generate_comprehensive_report.py per-family
+    parsers, generate_charts.py summary dashboard)."""
+    import shutil
+    from pathlib import Path
+
+    from tvc.analysis import UnifiedAnalysisRunner
+    from tvc.analysis.families import build_table, split_comprehensive
+
+    sample = (
+        Path(__file__).resolve().parent.parent
+        / "docs" / "sample_results" / "comprehensive_tpu_sample.json"
+    )
+    results_dir = tmp_path / "results"
+    results_dir.mkdir()
+    shutil.copy(sample, results_dir / "comprehensive.json")
+
+    body = json.loads(sample.read_text())
+    fams = dict(split_comprehensive(body))
+    assert "four_scenarios" in fams and "ablation_study" in fams
+
+    # ablation rows carry deltas vs full
+    ab = build_table("ablation_study", fams["ablation_study"])
+    deltas = [r for r in ab if "auroc_delta_vs_full" in r]
+    assert deltas and all(isinstance(r["auroc_delta_vs_full"], float) for r in deltas)
+
+    # efficiency rows carry share-of-total
+    eff = build_table("efficiency_analysis", fams["efficiency_analysis"])
+    shares = [r["share_of_total"] for r in eff if "share_of_total" in r]
+    assert shares and all(0 <= s <= 1.5 for s in shares)
+
+    index = UnifiedAnalysisRunner(str(results_dir)).run(charts=True)
+    assert "four_scenarios" in index["families"]
+    assert index["key_findings"]
+    report = open(index["report"]).read()
+    assert "## four_scenarios" in report and "| attack |" in report
+    latex = open(index["latex"]).read()
+    assert r"\documentclass" in latex and r"\toprule" in latex
+    assert any("summary_dashboard" in p for p in index["charts"])

@@ -143,6 +143,55 @@ class VisualizationManager:
         plt.xticks(rotation=30, ha="right")
         return self._save(fig, name)
 
+    def plot_grouped_bars(
+        self,
+        groups: Dict[str, Dict[str, float]],
+        name: str = "grouped",
+        ylabel: str = "",
+    ) -> str:
+        """Grouped bar chart: ``groups[series][category] = value``
+        (reference generate_charts.py baseline/ablation charts)."""
+        series = list(groups)
+        cats = sorted({c for g in groups.values() for c in g})
+        n_s, n_c = len(series), len(cats)
+        width = 0.8 / max(n_s, 1)
+        fig, ax = plt.subplots(figsize=(max(5, 1.2 * n_c), 4))
+        x = np.arange(n_c)
+        for i, s in enumerate(series):
+            vals = [groups[s].get(c, 0.0) for c in cats]
+            ax.bar(x + (i - (n_s - 1) / 2) * width, vals, width, label=s)
+        ax.set_xticks(x, cats, rotation=30, ha="right")
+        if ylabel:
+            ax.set_ylabel(ylabel)
+        ax.legend(fontsize=8)
+        return self._save(fig, name)
+
+    def plot_dashboard(
+        self, panels: Dict[str, Dict[str, float]], name: str = "dashboard"
+    ) -> str:
+        """Summary dashboard: one bar-panel per experiment family
+        (reference generate_charts.py:535-558 generate_summary_dashboard)."""
+        n = max(len(panels), 1)
+        ncols = min(n, 3)
+        nrows = (n + ncols - 1) // ncols
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(4.5 * ncols, 3.5 * nrows), squeeze=False
+        )
+        for ax in axes.ravel():
+            ax.set_visible(False)
+        for ax, (title, metrics) in zip(axes.ravel(), panels.items()):
+            ax.set_visible(True)
+            keys = list(metrics)
+            vals = [metrics[k] for k in keys]
+            ax.bar(keys, vals)
+            ax.set_title(title, fontsize=10)
+            ax.set_ylim(0, max(1.0, max(vals) * 1.1) if vals else 1.0)
+            ax.tick_params(axis="x", rotation=30, labelsize=7)
+            for i, v in enumerate(vals):
+                ax.text(i, v, f"{v:.2f}", ha="center", va="bottom", fontsize=6)
+        fig.tight_layout()
+        return self._save(fig, name)
+
 
 # reference alias (experiments side)
 ExperimentVisualizer = VisualizationManager
