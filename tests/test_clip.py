@@ -105,3 +105,30 @@ def test_fused_attention_encode_matches_standard():
 
     g = jax.grad(loss)(jnp.asarray(x))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_clip_config_from_name():
+    """Reference SUPPORTED_CLIP_MODELS resolution (src/__init__.py:99-108):
+    ViT family in both OpenAI and HF spellings; RN* rejected with a clear
+    error."""
+    import pytest
+
+    from tvc.models.clip import CLIPConfig
+
+    b32 = CLIPConfig.from_name("ViT-B/32")
+    assert (b32.patch_size, b32.vision_width, b32.embed_dim) == (32, 768, 512)
+    assert CLIPConfig.from_name("openai/clip-vit-base-patch32") == b32
+
+    b16 = CLIPConfig.from_name("ViT-B/16")
+    assert b16.patch_size == 16 and b16.vision_width == 768
+    assert CLIPConfig.from_name("openai/clip-vit-base-patch16") == b16
+
+    l14 = CLIPConfig.from_name("ViT-L/14")
+    # openai/clip-vit-large-patch14 shapes
+    assert (l14.patch_size, l14.vision_layers, l14.vision_width) == (14, 24, 1024)
+    assert (l14.text_width, l14.text_heads, l14.embed_dim) == (768, 12, 768)
+    assert CLIPConfig.from_name("openai/clip-vit-large-patch14") == l14
+
+    assert CLIPConfig.from_name("tiny").model_name == "tiny"
+    with pytest.raises(ValueError, match="RN50|unsupported"):
+        CLIPConfig.from_name("RN50")

@@ -112,7 +112,9 @@ class ExperimentHarness:
             self.model = load_trained_tiny(seed=cfg.seed)
             clip_cfg = self.model.config
         else:
-            clip_cfg = CLIPConfig.tiny() if cfg.clip_model == "tiny" else CLIPConfig()
+            # resolves reference model names incl. ViT-B/16 / ViT-L/14 and
+            # HF spellings (CLIPConfig.from_name)
+            clip_cfg = CLIPConfig.from_name(cfg.clip_model)
             self.model = CLIPModel(clip_cfg, seed=cfg.seed)
         self.logger = ExperimentLogger(
             f"{cfg.experiment_mode}_{cfg.dataset}",

@@ -89,6 +89,55 @@ class CLIPConfig:
             model_name="tiny",
         )
 
+    @classmethod
+    def vit_b32(cls, **kw) -> "CLIPConfig":
+        return cls(model_name="ViT-B/32", **kw)
+
+    @classmethod
+    def vit_b16(cls, **kw) -> "CLIPConfig":
+        """ViT-B/16: same towers as B/32 with 16px patches (seq 197)."""
+        return cls(patch_size=16, model_name="ViT-B/16", **kw)
+
+    @classmethod
+    def vit_l14(cls, **kw) -> "CLIPConfig":
+        """ViT-L/14 (openai/clip-vit-large-patch14 shapes)."""
+        return cls(
+            patch_size=14,
+            vision_width=1024,
+            vision_layers=24,
+            vision_heads=16,
+            text_width=768,
+            text_layers=12,
+            text_heads=12,
+            embed_dim=768,
+            model_name="ViT-L/14",
+            **kw,
+        )
+
+    @classmethod
+    def from_name(cls, name: str, **kw) -> "CLIPConfig":
+        """Resolve a reference model name (src/__init__.py:99-108
+        SUPPORTED_CLIP_MODELS, both OpenAI "ViT-B/32" and HF
+        "openai/clip-vit-base-patch32" spellings) to a config. The RN*
+        ResNet variants are not supported — the reference never uses them
+        in any shipped config (configs/default.yaml ViT-B/32)."""
+        canon = {
+            "vit-b/32": cls.vit_b32,
+            "openai/clip-vit-base-patch32": cls.vit_b32,
+            "vit-b/16": cls.vit_b16,
+            "openai/clip-vit-base-patch16": cls.vit_b16,
+            "vit-l/14": cls.vit_l14,
+            "openai/clip-vit-large-patch14": cls.vit_l14,
+            "tiny": lambda **k: cls.tiny(),
+        }
+        key = name.strip().lower()
+        if key not in canon:
+            raise ValueError(
+                f"unsupported CLIP model {name!r}; supported: "
+                "ViT-B/32, ViT-B/16, ViT-L/14 (and HF spellings), tiny"
+            )
+        return canon[key](**kw)
+
 
 def quick_gelu(x: Array) -> Array:
     return x * jax.nn.sigmoid(1.702 * x)
