@@ -58,6 +58,10 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
 
     B, V, T_b = variant_tokens.shape
     t0 = time.time()
+    # bf16 weights: at this decode batch (B*(V-1)=1280 seqs) KV-cache
+    # traffic dominates and int8 weights measure ~4% SLOWER (19.4k vs
+    # 18.6k tok/s); quantize_weights_int8 is for small-batch latency /
+    # fitting Qwen2-7B, not batch throughput
     qwen = QwenModel(QwenConfig(), seed=0, max_new_tokens=16, cast_params_bf16=True)
     init_s = time.time() - t0
     log(f"qwen init: {init_s:.1f}s ({qwen.config.model_name})")

@@ -77,6 +77,18 @@ def main():
     results["qwen_paraphrases_per_s"] = round(args.batch / dt, 3)
     results["qwen_tokens_per_s"] = round(args.batch * 32 / dt, 1)
 
+    # int8 weight-only decode (decode is HBM-bandwidth-bound; ~2x)
+    qw.quantize_weights_int8()
+    qw._decode_fn = None  # recompile against the quantized tree
+    t0 = time.time()
+    qw.generate_paraphrases("a cat sat on a mat near the window", num_paraphrases=args.batch)
+    results["qwen_i8_compile_plus_first_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    qw.generate_paraphrases("a dog runs across the street quickly", num_paraphrases=args.batch)
+    dt = time.time() - t0
+    results["qwen_i8_paraphrases_per_s"] = round(args.batch / dt, 3)
+    results["qwen_i8_tokens_per_s"] = round(args.batch * 32 / dt, 1)
+
     text = json.dumps(results, indent=2)
     print(text)
     if args.output:

