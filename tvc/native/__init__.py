@@ -142,3 +142,107 @@ def l2_normalize_rows(data: np.ndarray) -> np.ndarray:
     data = np.ascontiguousarray(data, np.float32)
     lib.l2_normalize_rows(_fptr(data), data.shape[0], data.shape[1])
     return data
+
+
+# -- native BPE tokenizer ------------------------------------------------------
+
+_BPE_LIB: Optional[ctypes.CDLL] = None
+_BPE_TRIED = False
+
+
+def _load_bpe() -> Optional[ctypes.CDLL]:
+    global _BPE_LIB, _BPE_TRIED
+    if _BPE_LIB is not None or _BPE_TRIED:
+        return _BPE_LIB
+    _BPE_TRIED = True
+    so = Path(__file__).with_name("_bpe_tokenizer.so")
+    if not so.exists():
+        try:
+            from tvc.native.build import build
+
+            build(only="_bpe_tokenizer.so")
+        except Exception:
+            return None
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.bpe_init.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ]
+        lib.bpe_init.restype = ctypes.c_int
+        lib.bpe_encode_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.bpe_encode_batch.restype = ctypes.c_int
+        lib.bpe_ready.restype = ctypes.c_int
+        _BPE_LIB = lib
+    except OSError:
+        _BPE_LIB = None
+    return _BPE_LIB
+
+
+def bpe_available() -> bool:
+    return _load_bpe() is not None
+
+
+def _blob(strings) -> Tuple[bytes, np.ndarray]:
+    """Concatenated UTF-8 bytes + int64 offsets[n+1]."""
+    enc = [s.encode("utf-8") for s in strings]
+    offsets = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum([len(b) for b in enc], out=offsets[1:])
+    return b"".join(enc), offsets
+
+
+def bpe_init(encoder: dict, ranks: dict) -> bool:
+    """Load the python BPETokenizer's encoder/rank tables into the native
+    library (token ids come out bit-identical to the python path)."""
+    lib = _load_bpe()
+    if lib is None:
+        return False
+    vocab_tokens = list(encoder.keys())
+    vblob, voff = _blob(vocab_tokens)
+    vids = np.asarray([encoder[t] for t in vocab_tokens], np.int32)
+    merge_keys = [None] * len(ranks)
+    for (first, second), rank in ranks.items():
+        merge_keys[rank] = f"{first}\x01{second}"
+    assert all(k is not None for k in merge_keys), "ranks must be 0..n-1"
+    mblob, moff = _blob(merge_keys)
+    rc = lib.bpe_init(
+        vblob, voff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(vocab_tokens),
+        mblob, moff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(merge_keys),
+    )
+    return rc == 0
+
+
+def bpe_encode_batch(
+    texts: Sequence[str],
+    context_length: int,
+    sot_id: int,
+    eot_id: int,
+    pad_id: int = 0,
+) -> np.ndarray:
+    """Tokenize LOWERCASED ASCII texts -> int32 [B, context_length].
+
+    Caller guarantees every string is ASCII and lowercased (the wrapper in
+    tvc/models/tokenizer.py routes non-ASCII strings to the python path).
+    """
+    lib = _load_bpe()
+    if lib is None or not lib.bpe_ready():
+        raise RuntimeError("native BPE unavailable or uninitialized")
+    blob, offsets = _blob(texts)
+    out = np.full((len(texts), context_length), pad_id, np.int32)
+    rc = lib.bpe_encode_batch(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        context_length, sot_id, eot_id,
+    )
+    if rc != 0:
+        raise RuntimeError("bpe_encode_batch failed")
+    return out

@@ -1,4 +1,4 @@
-"""Build the native image-ops library: ``python -m tvc.native.build``."""
+"""Build the native libraries: ``python -m tvc.native.build``."""
 
 from __future__ import annotations
 
@@ -6,13 +6,14 @@ import shutil
 import subprocess
 from pathlib import Path
 
+#: (source, output) pairs — one shared object per translation unit
+TARGETS = (
+    ("image_ops.cpp", "_image_ops.so"),
+    ("bpe_tokenizer.cpp", "_bpe_tokenizer.so"),
+)
 
-def build(verbose: bool = False) -> Path:
-    src = Path(__file__).with_name("image_ops.cpp")
-    out = Path(__file__).with_name("_image_ops.so")
-    gxx = shutil.which("g++") or shutil.which("clang++")
-    if gxx is None:
-        raise RuntimeError("no C++ compiler found")
+
+def _compile(gxx: str, src: Path, out: Path, verbose: bool) -> None:
     cmd = [
         gxx, "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
         "-o", str(out), str(src),
@@ -23,7 +24,22 @@ def build(verbose: bool = False) -> Path:
         # clang/no-openmp fallback
         cmd = [gxx, "-O3", "-shared", "-fPIC", "-o", str(out), str(src)]
         subprocess.run(cmd, check=True, capture_output=not verbose)
-    return out
+
+
+def build(verbose: bool = False, only: str | None = None) -> Path:
+    """Build all native libs (or the one whose output name is ``only``);
+    returns the last built path."""
+    gxx = shutil.which("g++") or shutil.which("clang++")
+    if gxx is None:
+        raise RuntimeError("no C++ compiler found")
+    here = Path(__file__).parent
+    out_path = None
+    for src_name, out_name in TARGETS:
+        if only is not None and out_name != only:
+            continue
+        out_path = here / out_name
+        _compile(gxx, here / src_name, out_path, verbose)
+    return out_path
 
 
 if __name__ == "__main__":
