@@ -33,7 +33,9 @@ def main():
     from tvc.retrieval import MultiModalRetriever, RetrievalConfig
 
     cfg = (
-        dataclasses.replace(CLIPConfig(), fused_attention=True)
+        # production serving precision: fused int8 W8A8 towers (bench.py
+        # headline path; --bf16 there reverts)
+        dataclasses.replace(CLIPConfig(), fused_attention=True, int8_serving=True)
         if args.full_clip
         else CLIPConfig.tiny()
     )
