@@ -80,9 +80,15 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     # generated variants (+ the original as variant V) -> the SAME compiled
     # defended step shape [B, V, T_b]
     var_tok = np.zeros((B, V, T_b), np.int32)
+    eot = model.tokenizer.eot_id
     for i, (text, plist) in enumerate(zip(texts, paras)):
         cands = (list(plist) + [text] * V)[:V]
-        tok = np.asarray(model.tokenize(cands))[:, :T_b]
+        full = np.asarray(model.tokenize(cands))
+        tok = full[:, :T_b].copy()
+        # paraphrases can run longer than the caption-derived bucket: keep
+        # EOT in-window so the argmax-EOT text pooling stays valid
+        overlong = full.argmax(-1) >= T_b
+        tok[overlong, -1] = eot
         var_tok[i, :, : tok.shape[1]] = tok
     t0 = time.time()
     agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
@@ -212,10 +218,12 @@ def main():
     # so encode at the smallest 8-multiple covering the real tokens instead
     # of the full 77-token context — text FLOPs drop ~4.8x at 10-token
     # captions (variant encode is the biggest defended-step stage).
+    # real length = EOT position + 1 (EOT is the highest id; counting
+    # nonzeros undercounts when id 0 = '!' appears mid-sequence)
     real_len = int(
         max(
-            (np.asarray(tokens) != 0).sum(-1).max(),
-            (np.asarray(variant_tokens) != 0).sum(-1).max(),
+            np.asarray(tokens).argmax(-1).max() + 1,
+            np.asarray(variant_tokens).argmax(-1).max() + 1,
         )
     )
     T_b = min(((real_len + 7) // 8) * 8, tokens.shape[-1])
@@ -225,12 +233,15 @@ def main():
     bank = l2_normalize(jax.random.normal(k2, (BANK_N, D)))
 
     params = model.params
+    # pre-quantized int8 serving weights, threaded as a runtime argument
+    # (single-dispatch latency then skips the in-trace re-quantization)
+    qparams = model.qparams() if cfg.int8_serving else None
 
     def _defended_core(params, pixels, tokens, variant_tokens, bank):
         # fused attention-LAYER paths (one Pallas kernel per block; int8
         # projection GEMMs when cfg.int8_serving)
         img = l2_normalize(
-            model.infer_image_features(params, normalize_pixels(pixels))
+            model.infer_image_features(params, normalize_pixels(pixels), qparams=qparams)
         )
         b, v, t = variant_tokens.shape
         # ONE text-tower pass for originals + variants
@@ -238,7 +249,7 @@ def main():
             [tokens[:, None, :], variant_tokens], axis=1
         ).reshape(b * (v + 1), t)
         allf = l2_normalize(
-            model.infer_text_features(params, all_tok)
+            model.infer_text_features(params, all_tok, qparams=qparams)
         ).reshape(b, v + 1, -1)
         txt, var = allf[:, 0], allf[:, 1:]
         # retrieval references: exact top-k over the bank (one MXU matmul);

@@ -263,9 +263,13 @@ def key_findings(parsed: List[Tuple[str, str, List[Dict[str, Any]]]]) -> List[st
         if fam == "four_scenarios":
             for r in rows:
                 if r.get("attack") == "(clean)" and r.get("false_positive_rate") is not None:
+                    # clean_retrieval_accuracy is None when scenario 2 is
+                    # absent (partial/failed runs) — never format None
+                    acc = r.get("clean_retrieval_accuracy")
+                    acc_s = f"{acc:.3f}" if isinstance(acc, (int, float)) else "n/a"
                     findings.append(
                         f"Clean FPR {r['false_positive_rate']:.3f} at retrieval "
-                        f"accuracy {r.get('clean_retrieval_accuracy', float('nan')):.3f} ({name})."
+                        f"accuracy {acc_s} ({name})."
                     )
         if fam == "ablation_study":
             deltas = [

@@ -156,7 +156,7 @@ def fused_mlp_layer(
     while B % Bb != 0:
         Bb //= 2
     grid = (B // Bb,)
-    compute_dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    compute_dtype = x.dtype  # f32 inputs compute in f32 (tests), bf16 in bf16
     kernel = functools.partial(
         _mlp_layer_kernel, eps=eps, compute_dtype=compute_dtype
     )
@@ -217,7 +217,7 @@ def fused_attention_layer(
     while B % Bb != 0:
         Bb //= 2
     grid = (B // Bb,)
-    compute_dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    compute_dtype = x.dtype  # f32 inputs compute in f32 (tests), bf16 in bf16
     kernel = functools.partial(
         _attn_layer_kernel,
         heads=heads,

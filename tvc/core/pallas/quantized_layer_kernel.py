@@ -194,7 +194,7 @@ def fused_attention_layer_i8(
         interpret = jax.default_backend() != "tpu"
     B, T, W = x.shape
     Bb = _pick_block(B, block_b)
-    compute_dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    compute_dtype = x.dtype  # f32 inputs compute in f32 (tests), bf16 in bf16
     kernel = functools.partial(
         _attn_layer_i8_kernel,
         heads=heads,

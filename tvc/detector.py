@@ -134,20 +134,29 @@ class AdversarialDetector:
 
     # -- embedding assembly --------------------------------------------------
     def _embed_variants(
-        self, texts: Sequence[str]
+        self,
+        texts: Sequence[str],
+        variants: Optional[Sequence[Sequence[str]]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """All queries' variants in ONE batched text encode.
 
         Returns ([B, V, D] embeddings, [B, V] mask), V = num_text_variants.
+        variants: precomputed per-query variant lists (the pipeline's
+        text_augment step) — generating here again would run the most
+        expensive host stage (a batched LLM decode) twice per batch.
         """
         V = self.config.num_text_variants
         B = len(texts)
         D = self.model.config.embed_dim
-        if self.text_augmenter is None:
+        if variants is None and self.text_augmenter is None:
             return np.zeros((B, V, D), np.float32), np.zeros((B, V), bool)
         # batched path: one Qwen decode batch for ALL queries' paraphrases
         # (TextAugmenter.batch_generate_variants), then one device encode
-        variant_lists = self.text_augmenter.batch_generate_variants(texts, V)
+        variant_lists = (
+            [list(v)[:V] for v in variants]
+            if variants is not None
+            else self.text_augmenter.batch_generate_variants(texts, V)
+        )
         flat = [v for vl in variant_lists for v in vl]
         emb = np.zeros((B, V, D), np.float32)
         mask = np.zeros((B, V), bool)
@@ -214,9 +223,12 @@ class AdversarialDetector:
         return arr
 
     def _variant_tokens(
-        self, texts: Sequence[str]
+        self,
+        texts: Sequence[str],
+        variants: Optional[Sequence[Sequence[str]]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Host stage: generate + tokenize text variants.
+        """Host stage: generate + tokenize text variants (``variants``:
+        precomputed lists — see _embed_variants).
 
         Returns ([B, V, T] int32 tokens, [B, V] bool mask)."""
         cfg = self.config
@@ -225,11 +237,16 @@ class AdversarialDetector:
         T = self.model.config.context_length
         tokens = np.zeros((B, V, T), np.int32)
         mask = np.zeros((B, V), bool)
-        if self.text_augmenter is None or "text_variants" not in cfg.methods:
+        no_source = variants is None and self.text_augmenter is None
+        if no_source or "text_variants" not in cfg.methods:
             return tokens[:, :1], mask[:, :1]
         # batched path: one Qwen decode batch for ALL queries' paraphrases
         # (TextAugmenter.batch_generate_variants), then one device encode
-        variant_lists = self.text_augmenter.batch_generate_variants(texts, V)
+        variant_lists = (
+            [list(v)[:V] for v in variants]
+            if variants is not None
+            else self.text_augmenter.batch_generate_variants(texts, V)
+        )
         flat = [v for vl in variant_lists for v in vl]
         if flat:
             flat_tok = np.asarray(self.model.tokenize(flat))
@@ -241,7 +258,12 @@ class AdversarialDetector:
                 pos += n
         return tokens, mask
 
-    def _detect_batch_fused(self, images, texts: Sequence[str]) -> DetectionResult:
+    def _detect_batch_fused(
+        self,
+        images,
+        texts: Sequence[str],
+        variants: Optional[Sequence[Sequence[str]]] = None,
+    ) -> DetectionResult:
         """ONE device program: encode + bank top-k + fused scoring
         (round-1 VERDICT weak 1: the staged path round-tripped through
         numpy 3+ times per batch)."""
@@ -259,24 +281,39 @@ class AdversarialDetector:
         K = max(R, cfg.retrieval_top_k or 0)
         key = (with_bank, R, K) if with_bank else (False, 0, 0)
         if self._serving is None or self._serving[0] != key:
+            mcfg = self.model.config
+            qp = (
+                # quantize the serving weights ONCE; threaded as a runtime
+                # argument so per-batch dispatches skip the in-trace
+                # re-quantization (~1 ms/batch at ViT-B/32)
+                self.model.qparams()
+                if getattr(mcfg, "int8_serving", False)
+                and getattr(mcfg, "fused_attention", False)
+                else None
+            )
             self._serving = (
                 key,
                 make_serving_step(
-                    self.model, mesh=None, top_k=K, num_refs=R, with_bank=with_bank
+                    self.model, mesh=None, top_k=K, num_refs=R,
+                    with_bank=with_bank, qparams=qp,
                 ),
             )
         step = self._serving[1]
 
         pixels = self._raw_pixels(images)
         tokens = np.asarray(self.model.tokenize(list(texts)))
-        var_tokens, var_mask = self._variant_tokens(texts)
+        var_tokens, var_mask = self._variant_tokens(texts, variants)
         # sequence bucketing: encode at the smallest 8-multiple covering
         # the real tokens (few shapes => few compiles; text FLOPs drop
-        # several-fold vs always padding to the full 77-token context)
+        # several-fold vs always padding to the full 77-token context).
+        # Real length = EOT position + 1, NOT the nonzero count: CLIP
+        # vocab id 0 is a real token ('!', also the unknown-piece
+        # fallback), so counting nonzeros can cut off EOT on crafted
+        # queries and corrupt the argmax-EOT text features. EOT is the
+        # highest id in both tokenizers, so argmax finds it.
         real = max(
-            int((tokens != 0).sum(-1).max()),
-            int((var_tokens != 0).sum(-1).max()),
-            1,
+            int(tokens.argmax(-1).max()) + 1,
+            int(var_tokens.argmax(-1).max()) + 1,
         )
         T_b = min(-(-real // 8) * 8, tokens.shape[-1])
         tokens = tokens[:, :T_b]
@@ -330,11 +367,18 @@ class AdversarialDetector:
         )
 
     # -- detection ------------------------------------------------------------
-    def detect_batch(self, images, texts: Sequence[str]) -> DetectionResult:
-        """images: PIL list or [B,H,W,3] raw pixels; texts: list[str]."""
+    def detect_batch(
+        self,
+        images,
+        texts: Sequence[str],
+        variants: Optional[Sequence[Sequence[str]]] = None,
+    ) -> DetectionResult:
+        """images: PIL list or [B,H,W,3] raw pixels; texts: list[str];
+        variants: optional precomputed per-query variant lists (skips
+        regenerating them — the pipeline passes its text_augment output)."""
         cfg = self.config
         if self._can_fuse():
-            return self._detect_batch_fused(images, texts)
+            return self._detect_batch_fused(images, texts, variants)
         img_emb = np.asarray(self.model.encode_image(images))
         txt_emb = np.asarray(self.model.encode_text(list(texts)))
         B, D = img_emb.shape
@@ -342,7 +386,7 @@ class AdversarialDetector:
         use_tv = "text_variants" in cfg.methods
         use_sd = "sd_reference" in cfg.methods
         var_emb, var_mask = (
-            self._embed_variants(texts)
+            self._embed_variants(texts, variants)
             if use_tv
             else (np.zeros((B, 1, D), np.float32), np.zeros((B, 1), bool))
         )

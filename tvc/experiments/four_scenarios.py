@@ -88,19 +88,24 @@ class FourScenariosExperiment:
         return cls(**{k: v for k, v in d.items() if k in fields})
 
     def _make_attacker(self, name: str):
-        overrides = self.config.attack_overrides.get(name)
+        # YAML overrides layer ONTO the harness-merged base configs
+        # (config.pgd/config.hubness carry the fixture eps/steps scaling —
+        # rebuilding from class defaults would silently drop it, e.g. a
+        # YAML setting only num_steps would reset epsilon to 8/255, which
+        # saturates against the trained fixture)
+        overrides = self.config.attack_overrides.get(name) or {}
         if name == "pgd":
-            cfg = (
-                self._attack_cfg(PGDAttackConfig, name)
-                if overrides
-                else self.config.pgd
+            fields = {f.name for f in dataclasses.fields(PGDAttackConfig)}
+            cfg = dataclasses.replace(
+                self.config.pgd,
+                **{k: v for k, v in overrides.items() if k in fields},
             )
             return PGDAttacker(self.model, cfg)
         if name == "hubness":
-            cfg = (
-                HubnessAttackConfig.from_dict(overrides)
-                if overrides
-                else self.config.hubness
+            fields = {f.name for f in dataclasses.fields(HubnessAttackConfig)}
+            cfg = dataclasses.replace(
+                self.config.hubness,
+                **{k: v for k, v in overrides.items() if k in fields},
             )
             return HubnessAttack(self.model, cfg)
         if name == "fgsm":

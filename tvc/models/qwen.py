@@ -211,6 +211,17 @@ class QwenLM(nn.Module):
         return logits.astype(jnp.float32), new_caches
 
 
+
+def _stable_seed(text: str) -> int:
+    """FNV-1a digest -> [0, 2^31): python hash() is randomized per process
+    (PYTHONHASHSEED), which would make variant generation — and therefore
+    detection scores — non-reproducible across runs."""
+    h = 0xCBF29CE484222325
+    for b in text.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % (2**31)
+
 PARAPHRASE_PROMPT = (
     "Rewrite the following sentence with the same meaning but different "
     "wording.\nSentence: {text}\nRewrite:"
@@ -439,7 +450,7 @@ class QwenModel:
         """(implied reference API, text_augment.py:304-308) — N samples of the
         paraphrase prompt, batched into one decode."""
         prompts = [PARAPHRASE_PROMPT.format(text=text)] * num_paraphrases
-        outs = self.generate(prompts, temperature=temperature, seed=abs(hash(text)) % (2**31))
+        outs = self.generate(prompts, temperature=temperature, seed=_stable_seed(text))
         return [o.strip() for o in outs if o.strip()]
 
     def generate_paraphrases_batch(
@@ -482,5 +493,5 @@ class ParaphraseAdapter:
 
     def batch(self, texts: List[str], n: int) -> List[List[str]]:
         return self.model.generate_paraphrases_batch(
-            texts, n, self.temperature, seed=abs(hash(tuple(texts))) % (2**31)
+            texts, n, self.temperature, seed=_stable_seed("\x00".join(texts))
         )

@@ -43,6 +43,7 @@ def make_serving_step(
     with_bank: bool = True,
     use_kernel: Optional[bool] = None,
     num_refs: Optional[int] = None,
+    qparams: Optional[Any] = None,
 ) -> Callable:
     """THE serving hot path as ONE jitted program.
 
@@ -69,6 +70,12 @@ def make_serving_step(
     Output dict keys: ``is_adversarial``, ``aggregated``, ``tv_score``,
     ``sd_score``, ``consistency_score``, ``orig_similarity``,
     ``variant_mean``, ``variant_std``, ``ref_idx``.
+
+    qparams: pre-quantized int8 serving weights (``CLIPModel.qparams()``)
+    when config.int8_serving — threaded into the program as a runtime
+    ARGUMENT (never a closure constant: those get baked into the HLO and
+    blow the remote compiler's request limit), so each dispatch skips the
+    in-trace weight re-quantization (~1 ms/batch at ViT-B/32).
     """
     module = model.inference_module
     num_refs = min(num_refs or top_k, top_k)  # score the first num_refs of
@@ -78,13 +85,13 @@ def make_serving_step(
         # mesh the pure-jnp math shards cleanly and XLA fuses it anyway
         use_kernel = mesh is None and jax.default_backend() == "tpu"
 
-    def _enc_image(params, px):
+    def _enc_image(params, qp, px):
         return l2_normalize(
-            model.infer_image_features(params, normalize_pixels(px))
+            model.infer_image_features(params, normalize_pixels(px), qparams=qp)
         )
 
-    def _enc_text(params, tok):
-        return l2_normalize(model.infer_text_features(params, tok))
+    def _enc_text(params, qp, tok):
+        return l2_normalize(model.infer_text_features(params, tok, qparams=qp))
 
     if mesh is None:
         encode_image, encode_text = _enc_image, _enc_text
@@ -99,14 +106,14 @@ def make_serving_step(
         encode_image = jax.shard_map(
             _enc_image,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None, None, None)),
+            in_specs=(P(), P(), P(DATA_AXIS, None, None, None)),
             out_specs=P(DATA_AXIS, None),
             check_vma=False,
         )
         encode_text = jax.shard_map(
             _enc_text,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None)),
+            in_specs=(P(), P(), P(DATA_AXIS, None)),
             out_specs=P(DATA_AXIS, None),
             check_vma=False,
         )
@@ -140,6 +147,7 @@ def make_serving_step(
 
     def step(
         params,
+        qp,
         pixels,
         tokens,
         variant_tokens,
@@ -150,7 +158,7 @@ def make_serving_step(
         lower,
         upper,
     ):
-        img = encode_image(params, pixels)  # [B, D]
+        img = encode_image(params, qp, pixels)  # [B, D]
         B, V, T = variant_tokens.shape
         # ONE text-tower pass for originals + variants ([B*(V+1), T]): a
         # separate original-text encode costs a full extra tower dispatch
@@ -158,7 +166,7 @@ def make_serving_step(
         all_tok = jnp.concatenate(
             [tokens[:, None, :], variant_tokens], axis=1
         ).reshape(B * (V + 1), T)
-        allf = encode_text(params, all_tok).reshape(B, V + 1, -1)
+        allf = encode_text(params, qp, all_tok).reshape(B, V + 1, -1)
         txt, var = allf[:, 0], allf[:, 1:]
 
         if with_bank:
@@ -197,36 +205,47 @@ def make_serving_step(
         return out
 
     if mesh is None:
-        return jax.jit(step)
+        jitted = jax.jit(step)
+    else:
+        repl = NamedSharding(mesh, P())
+        data_nd = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+        jitted = jax.jit(
+            step,
+            in_shardings=(
+                repl,  # params replicated
+                repl,  # qparams replicated (empty pytree when None)
+                data_nd(4),  # pixels
+                data_nd(2),  # tokens
+                data_nd(3),  # variant tokens
+                data_nd(2),  # variant mask
+                NamedSharding(mesh, P(MODEL_AXIS, None)),  # bank rows sharded
+                NamedSharding(mesh, P(MODEL_AXIS)),  # valid mask
+                repl,
+                repl,
+                repl,
+            ),
+            out_shardings={
+                "is_adversarial": data_nd(1),
+                "aggregated": data_nd(1),
+                "tv_score": data_nd(1),
+                "sd_score": data_nd(1),
+                "consistency_score": data_nd(1),
+                "orig_similarity": data_nd(1),
+                "variant_mean": data_nd(1),
+                "variant_std": data_nd(1),
+                "ref_idx": data_nd(2),
+            },
+        )
 
-    repl = NamedSharding(mesh, P())
-    data_nd = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
-    return jax.jit(
-        step,
-        in_shardings=(
-            repl,  # params replicated
-            data_nd(4),  # pixels
-            data_nd(2),  # tokens
-            data_nd(3),  # variant tokens
-            data_nd(2),  # variant mask
-            NamedSharding(mesh, P(MODEL_AXIS, None)),  # bank rows sharded
-            NamedSharding(mesh, P(MODEL_AXIS)),  # valid mask
-            repl,
-            repl,
-            repl,
-        ),
-        out_shardings={
-            "is_adversarial": data_nd(1),
-            "aggregated": data_nd(1),
-            "tv_score": data_nd(1),
-            "sd_score": data_nd(1),
-            "consistency_score": data_nd(1),
-            "orig_similarity": data_nd(1),
-            "variant_mean": data_nd(1),
-            "variant_std": data_nd(1),
-            "ref_idx": data_nd(2),
-        },
-    )
+    # qparams rides as a runtime argument partially applied OUTSIDE jit —
+    # callers keep the (params, pixels, ...) signature
+    def serve(params, *rest):
+        return jitted(params, qparams, *rest)
+
+    # expose the jit cache surface (recompile regression test)
+    serve._cache_size = jitted._cache_size
+    serve._jitted = jitted
+    return serve
 
 
 def make_defense_step(

@@ -176,7 +176,14 @@ class MultiModalDetectionPipeline:
 
         self.profiler.start_step("detection")
         t0 = time.time()
-        det: DetectionResult = self.detector.detect_batch(images, texts)
+        det: DetectionResult = self.detector.detect_batch(
+            images,
+            texts,
+            # reuse the text_augment step's output — regenerating inside the
+            # detector would run the batched LLM decode twice per batch AND
+            # score different variants than the ones reported
+            variants=variants if "text_augment" in self.config.steps else None,
+        )
         timings["detection"] = time.time() - t0
         self.profiler.end_step("detection")
 
