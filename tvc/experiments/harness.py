@@ -259,6 +259,10 @@ class ExperimentHarness:
         pgd_base = {"num_steps": 50 if fast else 10, **eps_fix, **ao.get("pgd", {})}
         if fast:
             ao["fgsm"] = {"epsilon": 16 / 255, **ao.get("fgsm", {})}
+            # feature-space attacks get the same fixture scaling (defaults
+            # eps=8/255 / few iters barely move the trained tiny CLIP)
+            ao["fsta"] = {"epsilon": 16 / 255, "num_iter": 50, **ao.get("fsta", {})}
+            ao["sma"] = {"epsilon": 16 / 255, "num_iter": 50, **ao.get("sma", {})}
         hub_base = {
             "num_iterations": 50 if fast else 500,
             "num_target_queries": min(16, self.config.num_samples),
