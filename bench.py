@@ -313,17 +313,20 @@ def main():
         _ = float(acc)
         return time.time() - t0
 
-    # scale K until the window is >= 30x RTT (>= ~1s), then measure
-    K = 4
-    elapsed = measure(K)
-    while elapsed < max(30 * rtt, 1.0) and K < 4096:
-        K = int(K * max(2.0, min(16.0, (max(30 * rtt, 1.0) * 1.5) / max(elapsed, 1e-3))))
-        elapsed = measure(K)
+    # scale the chain length until the window is >= 30x RTT (>= ~1s).
+    # NOTE: a separate name from the retrieval top-k K — _defended_core
+    # closes over K, so shadowing it would re-trace later sections with a
+    # multi-thousand top_k (crashed --small; skewed the legacy number).
+    n_chain = 4
+    elapsed = measure(n_chain)
+    while elapsed < max(30 * rtt, 1.0) and n_chain < 4096:
+        n_chain = int(n_chain * max(2.0, min(16.0, (max(30 * rtt, 1.0) * 1.5) / max(elapsed, 1e-3))))
+        elapsed = measure(n_chain)
     elapsed = max(elapsed - rtt, 1e-9)
-    qps = B * K / elapsed
+    qps = B * n_chain / elapsed
     log(
         f"defended throughput: {qps:.1f} q/s "
-        f"({elapsed / K * 1e3:.2f} ms/batch of {B}, {K} chained steps, "
+        f"({elapsed / n_chain * 1e3:.2f} ms/batch of {B}, {n_chain} chained steps, "
         f"window {elapsed:.2f}s)"
     )
 
@@ -342,9 +345,9 @@ def main():
 
     _ = float(defended_k_img_only(params, pixels, tokens, variant_tokens, bank, 2))
     t0 = time.time()
-    _ = float(defended_k_img_only(params, pixels, tokens, variant_tokens, bank, K))
+    _ = float(defended_k_img_only(params, pixels, tokens, variant_tokens, bank, n_chain))
     img_only_elapsed = max(time.time() - t0 - rtt, 1e-9)
-    img_only_qps = B * K / img_only_elapsed
+    img_only_qps = B * n_chain / img_only_elapsed
     log(
         f"image-path-only throughput (round-1 protocol): {img_only_qps:.1f} q/s"
     )
