@@ -91,6 +91,34 @@ def test_detector_single_query_api(clip, data):
     assert out2["scores"]["text_variants"] == 0.0 or True  # method subset runs
 
 
+def test_detector_result_cache(clip, data):
+    """Single-query LRU cache (reference src/detector.py:363-366,:413-419):
+    identical query hits; different image/text misses; calibration updates
+    invalidate (thresholds are part of the key); eviction respects
+    cache_size."""
+    images, texts = data
+    det = make_detector(clip, cache_enabled=True, cache_size=3)
+    out1 = det.detect_adversarial(images[0], texts[0])
+    assert det.stats["cache_hits"] == 0
+    out2 = det.detect_adversarial(images[0], texts[0])
+    assert det.stats["cache_hits"] == 1
+    assert out1 == out2
+    det.detect_adversarial(images[1], texts[0])  # different image: miss
+    det.detect_adversarial(images[0], texts[1])  # different text: miss
+    assert det.stats["cache_hits"] == 1
+    # threshold update invalidates: same query recomputes under new decision
+    det.threshold_manager.update(0.123)
+    det.detect_adversarial(images[0], texts[0])
+    assert det.stats["cache_hits"] == 1
+    # eviction: cache_size=3, 4 distinct keys inserted above -> oldest gone
+    assert len(det._cache) <= 3
+    # disabled: no entries, no hits
+    det2 = make_detector(clip, cache_enabled=False)
+    det2.detect_adversarial(images[0], texts[0])
+    det2.detect_adversarial(images[0], texts[0])
+    assert det2.stats["cache_hits"] == 0 and not det2._cache
+
+
 def test_compute_optimal_threshold_separates(clip, data, adv_images):
     images, texts = data
     det = make_detector(clip)

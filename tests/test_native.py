@@ -101,6 +101,15 @@ def test_native_bpe_parity_and_fallback():
     tok._native = True
     np.testing.assert_array_equal(native_out, py_out)
 
+    # ASCII separator controls \x1c-\x1f are whitespace under python's
+    # regex \s — the native path must agree (advisor round-2 finding)
+    ctrl = ["a\x1cb", "a\x1db c", "x\x1e\x1fy", "\x1c lead", "trail\x1f"]
+    a = tok(ctrl)
+    tok._native = False
+    b = tok(ctrl)
+    tok._native = True
+    np.testing.assert_array_equal(a, b)
+
     # mixed batch: ASCII rows native, non-ASCII rows python — same result
     mixed = ["café au lait", "plain ascii", "日本語", "more ascii here"]
     a = tok(mixed)
@@ -140,7 +149,9 @@ def test_native_bpe_faster_than_python():
     native_dt = time.time() - t0
     tok._native = False
     t0 = time.time()
-    tok(corpus[:1000])
-    py_dt = (time.time() - t0) * 4
+    tok(corpus[:2000])
+    # generous 2x margin (measured ~8x): a loaded/single-core CI machine
+    # with OpenMP oversubscription must not flake this
+    py_dt = (time.time() - t0) * 2
     tok._native = True
     assert native_dt < py_dt, (native_dt, py_dt)

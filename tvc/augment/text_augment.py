@@ -149,9 +149,10 @@ class TemplateAugmenter:
 class BackTranslator:
     """Round-trip translation variants (reference src/text_augment.py:380-460
     uses Helsinki-NLP HF pipelines, disabled by default). The translator is
-    injected (``(texts, src, dst) -> list[str]``) — the zero-egress default
-    environment has no translation weights, so this strategy stays inactive
-    unless a backend is provided."""
+    injected (``(texts, src, dst) -> list[str]``); TextAugmenter derives one
+    automatically from a Qwen-backed paraphrase generator
+    (QwenModel.translate round-trip), so no separate translation weights are
+    needed. With no backend at all the strategy stays inactive."""
 
     def __init__(
         self,
@@ -225,6 +226,19 @@ class TextAugmenter:
                 self.config, paraphrase_generator
             )
         if self.config.enable_back_translation:
+            if translator is None:
+                # derive a Qwen-prompted round-trip translator from the
+                # paraphrase generator's model (tvc/models/qwen.translate)
+                # so all four reference strategies run with no extra
+                # injection (reference loads Helsinki-NLP HF pipelines,
+                # src/text_augment.py:389-410 — unavailable zero-egress)
+                qwen = getattr(paraphrase_generator, "model", None) or (
+                    paraphrase_generator
+                    if hasattr(paraphrase_generator, "translate")
+                    else None
+                )
+                if qwen is not None and hasattr(qwen, "translate"):
+                    translator = qwen.translate
             self.strategies["back_translation"] = BackTranslator(
                 self.config, translator
             )

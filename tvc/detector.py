@@ -70,6 +70,18 @@ class DetectionResult:
     details: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
+def _first_row(v):
+    """Batch detail -> single-query detail: scalars pass through, [B]
+    arrays -> float, [B, K] arrays (e.g. fused ref_idx) -> list of K."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    arr = np.asarray(v)
+    if arr.ndim == 0:
+        return float(arr)
+    row = arr[0]
+    return float(row) if row.ndim == 0 else row.tolist()
+
+
 class ThresholdManager:
     """Fixed threshold with history (reference src/detector.py:53-93)."""
 
@@ -279,7 +291,15 @@ class AdversarialDetector:
         )
         R = cfg.num_reference_images
         K = max(R, cfg.retrieval_top_k or 0)
-        key = (with_bank, R, K) if with_bank else (False, 0, 0)
+        # params identity in the key: the step closes over int8 qparams
+        # derived from model.params at build time — swapping params after
+        # the first fused detect must re-derive them, or the projection
+        # GEMMs silently serve stale weights
+        key = (
+            (with_bank, R, K, id(self.model.params))
+            if with_bank
+            else (False, 0, 0, id(self.model.params))
+        )
         if self._serving is None or self._serving[0] != key:
             mcfg = self.model.config
             qp = (
@@ -457,10 +477,54 @@ class AdversarialDetector:
             },
         )
 
+    # -- single-query result cache ------------------------------------------------
+    def _cache_key(self, image, text: str, methods: Sequence[str]) -> str:
+        """md5 over text + image bytes + methods + decision parameters
+        (reference src/detector.py:684-709 hashes text+image+methods; tvc
+        additionally keys the thresholds/weights so calibration updates
+        invalidate stale decisions instead of serving them)."""
+        import hashlib
+
+        h = hashlib.md5()
+        h.update(text.encode("utf-8"))
+        h.update("|".join(methods).encode())
+        cfg = self.config
+        h.update(
+            np.asarray(
+                [
+                    self.threshold_manager.get_threshold(),
+                    cfg.lower_threshold if cfg.two_sided else -np.inf,
+                    *cfg.weights,
+                ],
+                np.float64,
+            ).tobytes()
+        )
+        if hasattr(image, "tobytes"):  # PIL image or ndarray
+            h.update(np.asarray(image).tobytes())
+        else:
+            h.update(repr(image).encode())
+        return h.hexdigest()
+
     def detect_adversarial(
         self, image, text: str, methods: Optional[Sequence[str]] = None
     ) -> Dict[str, Any]:
-        """Single-query wrapper (reference src/detector.py:345-440 shape)."""
+        """Single-query wrapper (reference src/detector.py:345-440 shape).
+
+        Results are cached per (image, text, methods, thresholds) with LRU
+        eviction at ``config.cache_size`` (reference :363-366, :413-419).
+        The batched path does NOT cache: hashing B full image buffers per
+        dispatch would cost more host time than the fused device step."""
+        cfg0 = self.config
+        key = None
+        if cfg0.cache_enabled and not isinstance(image, (list, tuple)):
+            key = self._cache_key(image, text, methods or cfg0.methods)
+            hit = self._cache.get(key)
+            if hit is not None:
+                # LRU refresh: re-insert as most recent
+                self._cache.pop(key)
+                self._cache[key] = hit
+                self.stats["cache_hits"] += 1
+                return dict(hit)
         if methods is not None:
             cfg = dataclasses.replace(self.config, methods=tuple(methods))
             saved, self.config = self.config, cfg
@@ -471,16 +535,18 @@ class AdversarialDetector:
         finally:
             if methods is not None:
                 self.config = saved
-        return {
+        out = {
             "is_adversarial": bool(res.is_adversarial[0]),
             "aggregated_score": float(res.aggregated_score[0]),
             "scores": {k: float(v[0]) for k, v in res.method_scores.items()},
             "threshold": res.details["threshold"],
-            "details": {
-                k: (float(v[0]) if hasattr(v, "__len__") else v)
-                for k, v in res.details.items()
-            },
+            "details": {k: _first_row(v) for k, v in res.details.items()},
         }
+        if key is not None:
+            self._cache[key] = out
+            while len(self._cache) > cfg0.cache_size:
+                self._cache.pop(next(iter(self._cache)))  # evict oldest
+        return dict(out)
 
     # -- threshold calibration -------------------------------------------------
     def calibrate_two_sided(

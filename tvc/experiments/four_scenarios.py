@@ -137,13 +137,20 @@ class FourScenariosExperiment:
 
     def generate_adversarial(
         self, images: np.ndarray, texts: Sequence[str], attack: str
-    ) -> np.ndarray:
+    ):
+        """Returns the full AttackResult — scenario 1 needs the per-attack
+        success criterion (hubness score), not just the images."""
         attacker = self._make_attacker(attack)
         if attack == "hubness":
+            # gallery = the clean image set, so the attack result carries
+            # real hubness scores (fraction of queries for which the adv
+            # image is top-1 over gallery ∪ {adv},
+            # reference src/attacks/hubness_attack.py:482-498)
+            attacker.build_reference_database(images=images)
             result = attacker.attack(images, texts=list(texts))
         else:
             result = attacker.attack(images, list(texts))
-        return result.adv_images
+        return result
 
     # -- scenarios --------------------------------------------------------------
     def _retrieval_accuracy(self, images: np.ndarray, texts: Sequence[str]) -> float:
@@ -154,26 +161,45 @@ class FourScenariosExperiment:
         sims = ifeat @ tfeat.T  # [B, B]
         return float(np.mean(np.argmax(sims, axis=1) == np.arange(len(texts))))
 
+    #: attacks whose headline ASR is the reference's cos(adv, text) < 0.3
+    #: similarity-collapse criterion (src/attacks/pgd_attack.py:536-541,
+    #: cw_attack.py analog). Hubness uses its own score > 0.84 criterion
+    #: (src/attacks/hubness_attack.py:482-498 — it RAISES similarity, so
+    #: cos < 0.3 misreports it); FGSM/FSTA/SMA headline the operational
+    #: retrieval break (paired text no longer top-1), matching what the
+    #: reference's measured artifact reports for them.
+    SIMILARITY_CRITERION_ATTACKS = frozenset({"pgd", "cw"})
+
     def scenario_1_attack_no_defense(
-        self, images, texts, adv_images: Dict[str, np.ndarray]
+        self, images, texts, adv_results: Dict[str, Any]
     ) -> Dict[str, Any]:
         out = {}
         tfeat = np.asarray(self.model.encode_text(list(texts)))
-        for name, adv in adv_images.items():
+        for name, res in adv_results.items():
+            adv = res.adv_images
             afeat = np.asarray(self.model.encode_image(adv))
             sims = np.sum(afeat * tfeat, axis=-1)
-            attack_success = float(np.mean(sims < UNTARGETED_SUCCESS_SIM))
+            sim_success = float(np.mean(sims < UNTARGETED_SUCCESS_SIM))
             rank_acc = self._retrieval_accuracy(adv, texts)
+            retrieval_success = 1.0 - rank_acc
+            if name == "hubness":
+                # per-attack criterion: hubness score > success_threshold
+                headline = float(np.mean(res.success))
+            elif name in self.SIMILARITY_CRITERION_ATTACKS:
+                headline = sim_success
+            else:
+                headline = retrieval_success
             out[name] = {
-                #: reference criterion: cos(adv, text) < 0.3
-                #: (src/attacks/pgd_attack.py:536-541)
-                "attack_success_rate": attack_success,
-                #: operational criterion: paired text no longer top-1 —
-                #: what "retrieval broken" actually means for serving
-                "retrieval_attack_success": 1.0 - rank_acc,
+                "attack_success_rate": headline,
+                #: secondary columns: both criteria always reported
+                "similarity_attack_success": sim_success,
+                "retrieval_attack_success": retrieval_success,
                 "mean_similarity": float(sims.mean()),
                 "retrieval_accuracy_under_attack": rank_acc,
             }
+            hub = res.info.get("hubness_scores") if res.info else None
+            if hub is not None:
+                out[name]["mean_hubness_score"] = float(np.mean(hub))
         return out
 
     def scenario_2_clean_no_defense(self, images, texts) -> Dict[str, Any]:
@@ -263,10 +289,11 @@ class FourScenariosExperiment:
         images, texts = images[:n], list(texts[:n])
         t_start = time.time()
 
-        adv_images = {
+        adv_results = {
             a: self.generate_adversarial(images, texts, a)
             for a in self.config.attacks
         }
+        adv_images = {a: r.adv_images for a, r in adv_results.items()}
         calibrated_threshold = None
         if self.config.calibrate_threshold and hasattr(self.pipeline, "detector"):
             clean_scores = self.pipeline.process_batch(images, texts).scores
@@ -295,7 +322,7 @@ class FourScenariosExperiment:
                 }
             else:
                 calibrated_threshold = youden
-        s1 = self.scenario_1_attack_no_defense(images, texts, adv_images)
+        s1 = self.scenario_1_attack_no_defense(images, texts, adv_results)
         s2 = self.scenario_2_clean_no_defense(images, texts)
         s3 = self.scenario_3_clean_with_defense(images, texts, s2["baseline_time"])
         s4 = self.scenario_4_attack_with_defense(images, texts, adv_images)

@@ -428,13 +428,17 @@ class ExperimentHarness:
         """Text->image retrieval quality over a paired bank: R@K / NDCG /
         mAP / MRR (reference RetrievalEvaluator usage, metrics.py:379-448),
         clean vs attacked queries."""
-        # bank = the eval images themselves + distractors; relevant item for
-        # query i is image i
-        clip_cfg = self.model.config
-        distractors = np.random.default_rng(self.config.seed + 1).normal(
-            size=(max(self.config.bank_size - len(self.texts), 0), clip_cfg.embed_dim)
-        ).astype(np.float32)
+        # bank = the eval images themselves + ENCODED dataset images as
+        # distractors (VERDICT r2 weak 5: random-normal distractors are
+        # near-orthogonal to real queries, making R@K/mAP trivially high).
+        # The harness's retrieval bank is the same dataset window, so rows
+        # past the eval set are real distractor embeddings; relevant item
+        # for query i is image i.
         img_emb = np.asarray(self.model.encode_image(self.images))
+        full_bank = np.asarray(self.retriever.image_bank._bank)[
+            : self.retriever.image_bank.size
+        ]
+        distractors = full_bank[len(self.texts) :]
         bank = np.concatenate([img_emb, distractors])
         retriever = MultiModalRetriever(self.model, RetrievalConfig(top_k=50))
         retriever.build_image_index(embeddings=bank)

@@ -128,7 +128,9 @@ class CLIPConfig:
             "openai/clip-vit-base-patch16": cls.vit_b16,
             "vit-l/14": cls.vit_l14,
             "openai/clip-vit-large-patch14": cls.vit_l14,
-            "tiny": lambda **k: cls.tiny(),
+            # forward kwargs (e.g. int8_serving=True) instead of silently
+            # dropping them
+            "tiny": lambda **k: dataclasses.replace(cls.tiny(), **k),
         }
         key = name.strip().lower()
         if key not in canon:

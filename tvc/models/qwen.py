@@ -227,6 +227,22 @@ PARAPHRASE_PROMPT = (
     "wording.\nSentence: {text}\nRewrite:"
 )
 
+TRANSLATE_PROMPT = (
+    "Translate the following sentence from {src} to {dst}. Reply with only "
+    "the translation.\nSentence: {text}\nTranslation:"
+)
+
+#: ISO codes the reference's back-translation uses
+#: (src/text_augment.py:78-80: de/fr/es via Helsinki-NLP pipelines)
+_LANG_NAMES = {
+    "en": "English",
+    "de": "German",
+    "fr": "French",
+    "es": "Spanish",
+    "zh": "Chinese",
+    "ja": "Japanese",
+}
+
 
 class QwenModel:
     """User-facing wrapper (implied reference API, SURVEY.md §2.2):
@@ -473,6 +489,29 @@ class QwenModel:
             [o.strip() for o in outs[i * n : (i + 1) * n] if o.strip()]
             for i in range(len(texts))
         ]
+
+    def translate(
+        self, texts: List[str], src: str, dst: str, temperature: float = 0.0
+    ) -> List[str]:
+        """Batched prompt-based translation — backs the BackTranslator
+        strategy with zero extra dependencies (the reference loads
+        Helsinki-NLP HF pipelines per language pair instead,
+        src/text_augment.py:389-410). Greedy decode: translation wants
+        fidelity, not diversity."""
+        sn = _LANG_NAMES.get(src, src)
+        dn = _LANG_NAMES.get(dst, dst)
+        prompts = [TRANSLATE_PROMPT.format(src=sn, dst=dn, text=t) for t in texts]
+        outs = self.generate(
+            prompts, temperature=temperature,
+            seed=_stable_seed(f"{src}->{dst}:" + "\x00".join(texts)),
+        )
+        # keep positional alignment: round-trips pair output i with input i
+        return [o.strip() or texts[i] for i, o in enumerate(outs)]
+
+    def as_translator(self):
+        """Callable ``(texts, src, dst) -> list[str]`` for the
+        TextAugmenter/BackTranslator injection point."""
+        return self.translate
 
     def as_paraphrase_generator(self) -> "ParaphraseAdapter":
         """Adapter for TextAugmenter's paraphrase_generator injection point

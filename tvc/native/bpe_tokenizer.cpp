@@ -69,8 +69,11 @@ inline bool is_word_char(unsigned char c) {
 }
 
 inline bool is_space(unsigned char c) {
+    // python regex \s over str additionally treats the ASCII separator
+    // controls \x1c-\x1f as whitespace; omitting them broke bit-parity
+    // with the python path on crafted inputs (e.g. "a\x1cb")
     return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-           c == '\v';
+           c == '\v' || (c >= 0x1c && c <= 0x1f);
 }
 
 // Greedy BPE over the unicode-mapped word; returns token ids.
