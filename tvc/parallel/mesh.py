@@ -65,6 +65,15 @@ def create_mesh(
     return Mesh(dev_array, config.axes)
 
 
+def bank_shard_axis(mesh: Mesh) -> str:
+    """THE axis embedding-bank rows shard over — single source of truth
+    shared by EmbeddingBank and make_serving_step (round-2 VERDICT item 6:
+    the two disagreed, forcing a resharding copy between retriever and the
+    fused serving program). 2D serving meshes put bank rows on MODEL_AXIS
+    (batch rides DATA_AXIS); 1D data-only meshes fall back to DATA_AXIS."""
+    return MODEL_AXIS if MODEL_AXIS in mesh.axis_names else DATA_AXIS
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over ``axis``; replicate the rest."""
     spec = P(axis, *([None] * (ndim - 1)))

@@ -33,7 +33,7 @@ from tvc.core.pallas.consistency_kernel import (
 )
 from tvc.core.similarity import l2_normalize
 from tvc.models.clip import CLIPModel, CLIPModule, normalize_pixels
-from tvc.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from tvc.parallel.mesh import DATA_AXIS, bank_shard_axis
 
 
 def make_serving_step(
@@ -124,14 +124,18 @@ def make_serving_step(
         return jax.lax.top_k(sims, top_k)
 
     if mesh is not None and with_bank:
+        # bank rows shard over the SAME axis EmbeddingBank uses
+        # (tvc/parallel/mesh.bank_shard_axis) — a retriever's mesh-built
+        # bank feeds this program with no resharding copy
+        bank_axis = bank_shard_axis(mesh)
 
         def bank_topk_body(queries, bank_shard, valid_shard):
             rows = bank_shard.shape[0]  # local shard rows
             scores, idx = bank_topk_local(queries, bank_shard, valid_shard)
-            shard_id = jax.lax.axis_index(MODEL_AXIS)
+            shard_id = jax.lax.axis_index(bank_axis)
             gidx = idx + shard_id * rows
-            all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=1)
-            all_idx = jax.lax.all_gather(gidx, MODEL_AXIS, axis=1)
+            all_scores = jax.lax.all_gather(scores, bank_axis, axis=1)
+            all_idx = jax.lax.all_gather(gidx, bank_axis, axis=1)
             B = all_scores.shape[0]
             top_scores, pos = jax.lax.top_k(all_scores.reshape(B, -1), top_k)
             top_idx = jnp.take_along_axis(all_idx.reshape(B, -1), pos, axis=1)
@@ -140,7 +144,7 @@ def make_serving_step(
         sharded_topk = jax.shard_map(
             bank_topk_body,
             mesh=mesh,
-            in_specs=(P(), P(MODEL_AXIS, None), P(MODEL_AXIS)),
+            in_specs=(P(), P(bank_axis, None), P(bank_axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -209,6 +213,12 @@ def make_serving_step(
     else:
         repl = NamedSharding(mesh, P())
         data_nd = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+        if with_bank:
+            bank_sh = NamedSharding(mesh, P(bank_shard_axis(mesh), None))
+            valid_sh = NamedSharding(mesh, P(bank_shard_axis(mesh)))
+        else:
+            # placeholder zeros((1, D)) can't shard over the bank axis
+            bank_sh = valid_sh = repl
         jitted = jax.jit(
             step,
             in_shardings=(
@@ -218,8 +228,8 @@ def make_serving_step(
                 data_nd(2),  # tokens
                 data_nd(3),  # variant tokens
                 data_nd(2),  # variant mask
-                NamedSharding(mesh, P(MODEL_AXIS, None)),  # bank rows sharded
-                NamedSharding(mesh, P(MODEL_AXIS)),  # valid mask
+                bank_sh,  # bank rows sharded (EmbeddingBank layout)
+                valid_sh,  # valid mask
                 repl,
                 repl,
                 repl,
@@ -273,10 +283,16 @@ def make_defense_step(
         jnp.float32,
     )
 
-    def step(params, pixels, tokens, variant_tokens, bank):
+    def step(params, pixels, tokens, variant_tokens, bank, variant_mask=None):
+        """variant_mask: optional [B, V] bool — None assumes all variant
+        slots real (the compat callers pad none)."""
         B, V, _ = variant_tokens.shape
-        vmask = np.ones((B, V), dtype=bool)
-        valid = np.ones((bank.shape[0],), dtype=bool)
+        vmask = (
+            variant_mask
+            if variant_mask is not None
+            else jnp.ones((B, V), dtype=bool)
+        )
+        valid = jnp.ones((bank.shape[0],), dtype=bool)
         out = serving(
             params,
             pixels,
