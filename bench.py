@@ -5,17 +5,26 @@ cosine-consistency detector with pre-generated text variants (no Qwen/SD):
 per query
   1x image encode (224x224) + V=6 variant/original text encodes
   + bank top-k (131072 x 512 exact matmul) + fused Pallas consistency kernel.
+Queries are REAL COCO val2017 captions (bundled annotation text), so the
+token stream, sequence bucketing, and variant generation all run on natural
+language (round-2 VERDICT item 4).
 
-Also measured in the same run:
+Also measured in the same run (all five BASELINE configs, no flags):
   * per-batch latency P50/P99 (reference README.md:897-898 reports
     19.1/45.7 ms);
-  * config #4 "full TVC": Qwen batched paraphrase generation IN the loop
-    feeding the defended step — reported as full_cold (every batch
-    regenerates variants) and full_steady (variants cached, the
-    reference's md5-cache steady state);
-  * with --full, config #5 "full genref": Stable Diffusion (SD-1.5 shape,
-    256px, 20 steps) reference synthesis, amortized into the embedding
-    bank the way the reference amortizes through its ReferenceBank.
+  * config #4 "full TVC": variant generation IN the loop — Qwen batched
+    paraphrase decode (shared-prefix prefill, 3 samples/query) + host
+    strategies (synonym/template — the reference mixes strategies the
+    same way, src/text_augment.py:462-520) + tokenize + the defended
+    step. Reported as full_cold (every batch regenerates variants) and
+    full_steady (variants cached, the reference's md5-cache steady state);
+  * config #4 at spec scale: Qwen2-7B (random weights, int8-at-init,
+    ~7.6 GB on the 16 GB chip) batched paraphrase decode —
+    qwen7b_tok_per_s / qwen7b_ms_per_query (--skip-7b to skip);
+  * config #5 "full genref": Stable Diffusion (SD-1.5 shape, 20 steps)
+    reference synthesis at 256px + the reference's 512px contract
+    (src/sd_ref.py:299-308), amortized into the embedding bank the way
+    the reference amortizes through its ReferenceBank (--skip-sd to skip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: reference 52.3 defended q/s on 6x RTX 4090 (README.md:891-897),
@@ -24,10 +33,8 @@ including text-augment 3.2 ms + retrieval 8.7 ms + SD 12.4 ms + detection
 
 Notes: weights are random (zero-egress environment) — identical FLOPs to
 pretrained weights, so throughput is faithful; AUROC is measured on
-PGD-attacked vs clean queries under the same detector. The Qwen stage uses
-Qwen2-0.5B (a single 16 GB v5e chip also holds CLIP + the bank; the
-reference's Qwen2-7B ran on 144 GB of GPU — the TP path in tvc/parallel/tp
-shards 7B over a mesh). Latency subtracts the axon tunnel RTT per readback.
+PGD-attacked vs clean queries under the same detector. Latency subtracts
+the axon tunnel RTT per readback.
 """
 
 import json
@@ -41,84 +48,160 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, rtt, t_def_s):
-    """BASELINE config #4: Qwen paraphrase generation in the loop.
+def _variant_tokens_from(model, texts, paras, augmenter, V, T_b):
+    """Mixed-strategy variants -> the defended step's [B, V, T_b] tensor:
+    per query, Qwen paraphrases + host strategies (synonym/template) fill
+    V slots, padded with the original. One batched tokenize; overlong
+    variants keep EOT in-window so argmax-EOT text pooling stays valid."""
+    B = len(texts)
+    eot = model.tokenizer.eot_id
+    cands_flat = []
+    for text, plist in zip(texts, paras):
+        host = augmenter.generate_variants(text, V) if augmenter else []
+        cands = (list(plist) + host + [text] * V)[:V]
+        cands_flat.extend(cands)
+    full = np.asarray(model.tokenize(cands_flat))  # [B*V, ctx]
+    tok = full[:, :T_b].copy()
+    overlong = full.argmax(-1) >= T_b
+    tok[overlong, -1] = eot
+    return tok.reshape(B, V, T_b)
 
-    All B queries' paraphrases run as ONE decode batch
-    (tvc/models/qwen.generate_paraphrases_batch); the generated variants
-    feed the SAME compiled defended step. full_cold regenerates variants
-    every batch; full_steady is the variant-cache steady state (the
+
+def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts, rtt, t_def_s):
+    """BASELINE config #4: variant generation in the loop.
+
+    Per timed iteration (the honest cold path — everything a new query
+    batch pays): ONE Qwen decode batch over B unique prompts with
+    shared-prefix prefill and 3 sampled paraphrases each
+    (tvc/models/qwen.generate with n_samples — prefill is ~3x decode FLOPs
+    at paraphrase shapes, so prefilling once per unique prompt instead of
+    once per sample is the big lever), + host strategies (synonym/template)
+    for 2 more variants, + batched tokenization, + the SAME compiled
+    defended step. full_steady is the variant-cache steady state (the
     reference caches variants by md5 and reports cache-amortized times,
     README.md:903-909)."""
     import time
 
     import jax.numpy as jnp
 
+    from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
     from tvc.models.qwen import QwenConfig, QwenModel
 
     B, V, T_b = variant_tokens.shape
+    n_qwen = 3  # 3 Qwen paraphrases + 2 host variants + original = V=6 slots
     t0 = time.time()
-    # bf16 weights: at this decode batch (B*(V-1)=1280 seqs) KV-cache
-    # traffic dominates and int8 weights measure ~4% SLOWER (19.4k vs
-    # 18.6k tok/s); quantize_weights_int8 is for small-batch latency /
-    # fitting Qwen2-7B, not batch throughput
+    # bf16 weights: at this decode batch (B*3=768 seqs) KV-cache traffic
+    # dominates and int8 weights measure ~4% SLOWER (19.4k vs 18.6k tok/s);
+    # quantize_weights_int8 is for small-batch latency / fitting Qwen2-7B
     qwen = QwenModel(QwenConfig(), seed=0, max_new_tokens=16, cast_params_bf16=True)
     init_s = time.time() - t0
     log(f"qwen init: {init_s:.1f}s ({qwen.config.model_name})")
-    texts = [f"a photo of scene number {i} with objects" for i in range(B)]
+    augmenter = TextAugmenter(
+        TextAugmentConfig(
+            enable_paraphrase_generation=False, enable_back_translation=False
+        )
+    )
+
+    def one_iteration():
+        paras = qwen.generate_paraphrases_batch(texts, n_qwen)
+        var_tok = _variant_tokens_from(model, texts, paras, augmenter, V, T_b)
+        agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
+        _ = float(agg[0])  # readback = sync
 
     t0 = time.time()
-    paras = qwen.generate_paraphrases_batch(texts, V - 1)
-    log(f"qwen paraphrase compile+run ({B}x{V - 1}): {time.time() - t0:.1f}s")
+    one_iteration()
+    log(f"full-TVC compile+run ({B} queries x {n_qwen} qwen + host): {time.time() - t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.time()
-        paras = qwen.generate_paraphrases_batch(texts, V - 1)
+        one_iteration()
         times.append(time.time() - t0)
-    t_qwen = float(np.median(times))
+    t_cold = max(float(np.median(times)) - rtt, 1e-9)
 
-    # generated variants (+ the original as variant V) -> the SAME compiled
-    # defended step shape [B, V, T_b]
-    var_tok = np.zeros((B, V, T_b), np.int32)
-    eot = model.tokenizer.eot_id
-    for i, (text, plist) in enumerate(zip(texts, paras)):
-        cands = (list(plist) + [text] * V)[:V]
-        full = np.asarray(model.tokenize(cands))
-        tok = full[:, :T_b].copy()
-        # paraphrases can run longer than the caption-derived bucket: keep
-        # EOT in-window so the argmax-EOT text pooling stays valid
-        overlong = full.argmax(-1) >= T_b
-        tok[overlong, -1] = eot
-        var_tok[i, :, : tok.shape[1]] = tok
+    # decompose: qwen decode alone (same batch), for the component table
     t0 = time.time()
-    agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
-    _ = float(agg[0])
-    t_def_meas = max(time.time() - t0 - rtt, t_def_s)
+    paras = qwen.generate_paraphrases_batch(texts, n_qwen)
+    t_qwen = max(time.time() - t0 - rtt, 1e-9)
 
-    full_cold_qps = B / (t_qwen + t_def_meas)
+    full_cold_qps = B / t_cold
     log(
-        f"full TVC (Qwen in loop): {full_cold_qps:.1f} q/s cold "
-        f"(qwen {t_qwen / B * 1e3:.2f} ms/q + defense {t_def_meas / B * 1e3:.2f} ms/q); "
+        f"full TVC (variant gen in loop): {full_cold_qps:.1f} q/s cold "
+        f"({t_cold / B * 1e3:.2f} ms/q total; qwen decode {t_qwen / B * 1e3:.2f} ms/q); "
         f"steady (variants cached) = config #1 rate"
     )
     return {
         "full_cold_qps": round(full_cold_qps, 2),
         "full_cold_vs_baseline": round(full_cold_qps / 52.3, 3),
+        "full_cold_ms_per_query": round(t_cold / B * 1e3, 3),
         "qwen_ms_per_query": round(t_qwen / B * 1e3, 3),
         "qwen_model": qwen.config.model_name,
-        "qwen_tok_per_s": round(B * (V - 1) * qwen.max_new_tokens / t_qwen, 1),
+        "qwen_paraphrases_per_query": n_qwen,
+        "qwen_tok_per_s": round(B * n_qwen * qwen.max_new_tokens / t_qwen, 1),
     }
 
 
-def _sd_genref_stage(model, B, n_texts=64, n_refs=2):
+def _qwen7b_stage(rtt, n_prompts=64, n_qwen=3):
+    """Config #4 at reference spec scale: Qwen2-7B batched paraphrase
+    decode (reference measured 3.2 ms/query on 6x RTX 4090,
+    /root/reference/README.md:905; model list src/__init__.py:116-120).
+
+    Random weights initialized DIRECTLY into int8 (~7.6 GB — a 16 GB v5e
+    cannot even hold the bf16 init tree), stacked-layer scan decode,
+    shared-prefix prefill with n_qwen samples per prompt. FLOPs equal the
+    pretrained model's, so throughput is faithful."""
+    import gc
+    import time
+
+    from tvc.data.loaders import load_coco_captions
+    from tvc.models.qwen import QwenConfig, QwenModel
+
+    t0 = time.time()
+    qwen = QwenModel(
+        QwenConfig.qwen2_7b(), seed=0, max_new_tokens=16, init_int8=True
+    )
+    log(f"qwen2-7b int8 init: {time.time() - t0:.1f}s")
+    texts = [c for _, c in load_coco_captions()[:n_prompts]]
+
+    t0 = time.time()
+    paras = qwen.generate_paraphrases_batch(texts, n_qwen)
+    log(f"qwen2-7b decode compile+run ({n_prompts}x{n_qwen}): {time.time() - t0:.1f}s")
+    assert len(paras) == n_prompts
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        qwen.generate_paraphrases_batch(texts, n_qwen, seed=i)
+        times.append(time.time() - t0)
+    t_dec = max(float(np.median(times)) - rtt, 1e-9)
+    tok_per_s = n_prompts * n_qwen * qwen.max_new_tokens / t_dec
+    ms_per_q = t_dec / n_prompts * 1e3
+    log(
+        f"qwen2-7b paraphrase decode: {tok_per_s:.0f} tok/s, "
+        f"{ms_per_q:.2f} ms/query ({n_qwen} paraphrases x 16 new tokens; "
+        f"reference Qwen2-7B: 3.2 ms/query on 6x RTX 4090)"
+    )
+    out = {
+        "qwen7b_tok_per_s": round(tok_per_s, 1),
+        "qwen7b_ms_per_query": round(ms_per_q, 3),
+        "qwen7b_paraphrases_per_query": n_qwen,
+        "qwen7b_precision": "int8-weight-only",
+    }
+    del qwen
+    gc.collect()
+    return out
+
+
+def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
     """BASELINE config #5: SD reference synthesis amortized through the
     embedding bank. Generates n_refs 256px/20-step images for n_texts
-    unique queries in chunked batched diffusion programs, CLIP-embeds them
-    (bank rows), and reports generation throughput + the cold per-query
-    cost. Steady state costs ~0: references live in the bank and are
-    retrieved, exactly how the reference amortizes via its ReferenceBank +
-    md5 image cache (reference src/sd_ref.py:454-483, src/ref_bank.py)."""
+    unique queries (REAL COCO captions) in chunked batched diffusion
+    programs, CLIP-embeds them (bank rows), and reports generation
+    throughput + the cold per-query cost, plus a smaller run at the
+    reference's 512px SD-1.5 contract (src/sd_ref.py:299-308). Steady
+    state costs ~0: references live in the bank and are retrieved, exactly
+    how the reference amortizes via its ReferenceBank + md5 image cache
+    (reference src/sd_ref.py:454-483, src/ref_bank.py)."""
     import dataclasses
+    import gc
     import time
 
     from tvc.models.sd import SDConfig, StableDiffusionModel
@@ -128,7 +211,7 @@ def _sd_genref_stage(model, B, n_texts=64, n_refs=2):
     sd = StableDiffusionModel(cfg, seed=0)
     init_s = time.time() - t0
     log(f"sd init: {init_s:.1f}s (SD-1.5 shape @256px)")
-    texts = [f"a photo of scene number {i} with objects" for i in range(n_texts)]
+    texts = list(texts)[:n_texts]
     chunk = 8
     _ = sd.generate_images_batch(texts[:chunk], num_images=n_refs, seed=0)  # compile
     t0 = time.time()
@@ -150,13 +233,33 @@ def _sd_genref_stage(model, B, n_texts=64, n_refs=2):
         f"steady ~0 (bank-amortized)"
     )
     assert emb.shape == (n_img, model.config.embed_dim)
-    return {
+    out = {
         "sd_img_per_s": round(img_per_s, 2),
         "sd_ms_per_query_cold": round(gen_s / n_texts * 1e3, 2),
         "sd_refs_per_query": n_refs,
         "sd_image_size": cfg.image_size,
         "sd_init_s": round(init_s, 1),
     }
+    del sd
+    gc.collect()
+
+    # the reference's 512px contract, measured on a smaller sample (the
+    # per-image cost is ~4x 256px; 8 images bound the added wall time)
+    cfg512 = dataclasses.replace(SDConfig(), image_size=512)
+    sd512 = StableDiffusionModel(cfg512, seed=0)
+    n512 = min(4, n_texts)
+    _ = sd512.generate_images_batch(texts[:n512], num_images=n_refs, seed=0)
+    t0 = time.time()
+    n_img512 = sum(
+        len(pp)
+        for pp in sd512.generate_images_batch(texts[:n512], num_images=n_refs, seed=0)
+    )
+    gen512_s = time.time() - t0
+    out["sd512_img_per_s"] = round(n_img512 / gen512_s, 3)
+    log(f"sd genref 512px: {n_img512} images in {gen512_s:.1f}s = {out['sd512_img_per_s']:.2f} img/s")
+    del sd512
+    gc.collect()
+    return out
 
 
 def main():
@@ -200,18 +303,26 @@ def main():
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     pixels = jax.random.uniform(k1, (B, cfg.image_size, cfg.image_size, 3))
-    tokens = jnp.asarray(
-        model.tokenize([f"a photo of scene number {i} with objects" for i in range(B)])
-    )
-    variant_tokens = jnp.asarray(
-        np.stack(
-            [
-                model.tokenize(
-                    [f"variant {v} of scene {i} with objects" for v in range(V)]
-                )
-                for i in range(B)
-            ]
+    # REAL COCO val2017 captions (bundled annotation text,
+    # tvc/assets/coco_captions_val2017.json.gz): natural lengths/vocab
+    # drive the tokenizer, sequence bucketing, and variant generation
+    from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
+    from tvc.data.loaders import load_coco_captions
+
+    texts = [c for _, c in load_coco_captions()[:B]]
+    tokens = jnp.asarray(model.tokenize(texts))
+    # config #1's pre-generated variants: host strategies on the real
+    # captions (synonym/syntax/template), padded with the original
+    _aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_paraphrase_generation=False, enable_back_translation=False
         )
+    )
+    _variants = [
+        ((_aug.generate_variants(t, V) or [t]) * V)[:V] for t in texts
+    ]
+    variant_tokens = jnp.asarray(
+        np.stack([model.tokenize(vs) for vs in _variants])
     )  # [B, V, T]
     # sequence bucketing: captions are short; the text tower is
     # length-polymorphic (positional embeddings sliced, causal mask [T, T]),
@@ -365,24 +476,32 @@ def main():
     p50, p99 = float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99))
     log(f"batch latency (B={B}): P50 {p50:.2f} ms  P99 {p99:.2f} ms")
 
-    # -- config #4: full TVC with Qwen variant generation in the loop ---------
+    # -- config #4: full TVC with variant generation in the loop --------------
     full = {}
     if "--skip-qwen" not in sys.argv and not small:
         try:
             full.update(
                 _qwen_full_stage(
                     model, defended_step, params, pixels, tokens,
-                    variant_tokens, bank, rtt, p50 / 1e3,
+                    variant_tokens, bank, texts, rtt, p50 / 1e3,
                 )
             )
         except Exception as e:
             log(f"qwen full stage failed: {type(e).__name__}: {e}")
             full["full_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # -- config #5: SD genref amortized through the bank (--full) -------------
-    if "--full" in sys.argv:
+    # -- config #4 at spec scale: Qwen2-7B paraphrase decode -------------------
+    if "--skip-7b" not in sys.argv and "--skip-qwen" not in sys.argv and not small:
         try:
-            full.update(_sd_genref_stage(model, B))
+            full.update(_qwen7b_stage(rtt))
+        except Exception as e:
+            log(f"qwen2-7b stage failed: {type(e).__name__}: {e}")
+            full["qwen7b_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # -- config #5: SD genref amortized through the bank ----------------------
+    if "--skip-sd" not in sys.argv and not small:
+        try:
+            full.update(_sd_genref_stage(model, texts))
         except Exception as e:
             log(f"sd genref stage failed: {type(e).__name__}: {e}")
             full["sd_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -436,6 +555,10 @@ def main():
                 # only the image path in the timing window); kept for an
                 # apples-to-apples round-over-round comparison
                 "image_path_only_qps": round(float(img_only_qps), 2),
+                # steady-state full pipeline = config #1 rate (variants +
+                # SD references cached/bank-amortized, as the reference's
+                # md5 caches do)
+                "full_steady_qps": round(float(qps), 2),
                 "latency_p50_ms": round(p50, 2),
                 "latency_p99_ms": round(p99, 2),
                 "latency_per_query_p50_ms": round(p50 / B, 4),

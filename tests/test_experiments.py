@@ -136,6 +136,6 @@ def test_cross_dataset_mode(tmp_path):
     )
     out = h.run()
     cd = out["cross_dataset"]
-    assert cd["source"] == "synthetic" and cd["target"] == "synthetic"
+    assert cd["source"] == "coco_captions" and cd["target"] == "coco_captions"
     assert 0.0 <= cd["auroc"] <= 1.0
     assert 0.0 <= cd["detection_rate"] <= 1.0

@@ -161,10 +161,12 @@ def test_cross_dataset_disjoint_split():
         )
     )
     out = h.run_cross_dataset()["cross_dataset"]
-    assert out["source"] == out["target"] == "synthetic"
+    assert out["source"] == out["target"] == "coco_captions"
     # disjointness: the target window [n, 2n) shares no captions with [0, n)
+    from tvc.data.loaders import COCOCaptionsDataset
+
     src_caps = set(h.texts)
-    ds2 = SyntheticDataset(
+    ds2 = COCOCaptionsDataset(
         DataConfig(image_size=32, max_samples=16, seed=h.config.seed)
     )
     tgt_caps = [s.caption for s in ds2.samples][8:]

@@ -258,13 +258,49 @@ def test_qwen_int8_weight_only():
     outs = m_q.generate_paraphrases("a cat sat on a mat", num_paraphrases=2)
     assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
 
-    # TP + int8 is explicitly unsupported
-    import pytest
-
+    # int8 x TP (round-2 VERDICT item 1): the quantized decode runs over a
+    # 2D mesh with int8+scale leaves sharded on the model axis, and GREEDY
+    # decode matches the single-device quantized model token-for-token
     from jax.sharding import Mesh
     from tvc.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), (DATA_AXIS, MODEL_AXIS))
-    m_tp = QwenModel(QwenConfig.tiny(), seed=0, mesh=mesh)
-    with pytest.raises(NotImplementedError):
-        m_tp.quantize_weights_int8()
+    m_tp = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=4, mesh=mesh)
+    m_tp.quantize_weights_int8()
+    prompts = ["a cat sat on a mat", "two dogs run in a park"]
+    tp_out = m_tp.generate(prompts, temperature=0.0)
+    single_out = m_q.generate(prompts, temperature=0.0)
+    assert tp_out == single_out, (tp_out, single_out)
+
+
+def test_qwen_init_int8_and_shared_prefill():
+    """init_int8 (layer-wise int8 random init — the only 7B-feasible init
+    on 16 GB) produces the same tree STRUCTURE as post-hoc quantization,
+    and the shared-prefix n_samples decode (a) matches per-prompt grouping
+    semantics, (b) under greedy decode equals the replicated-prompt path
+    token-for-token (same KV contents, same logits)."""
+    import dataclasses
+
+    import jax
+
+    from tvc.models.qwen import QwenConfig, QwenModel
+
+    cfg = dataclasses.replace(QwenConfig.tiny(), tie_embeddings=False)
+    m_post = QwenModel(cfg, seed=0, max_new_tokens=4)
+    m_post.quantize_weights_int8()
+    m_init = QwenModel(cfg, seed=0, max_new_tokens=4, init_int8=True)
+    assert jax.tree_util.tree_structure(
+        m_post.params
+    ) == jax.tree_util.tree_structure(m_init.params)
+
+    prompts = ["a cat sat on a mat", "two dogs run in a park"]
+    # greedy: n_samples tiling must reproduce the replicated-prompt batch
+    tiled = m_init.generate(prompts, temperature=0.0, n_samples=3)
+    replicated = m_init.generate(
+        [p for p in prompts for _ in range(3)], temperature=0.0
+    )
+    assert tiled == replicated, (tiled, replicated)
+    # sampled: rows group per prompt, chains are independent (not all equal)
+    outs = m_init.generate(prompts, temperature=1.0, n_samples=4, seed=1)
+    assert len(outs) == 8
+    assert len(set(outs)) > 1, "sampling chains collapsed to one sequence"

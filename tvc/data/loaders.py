@@ -236,6 +236,164 @@ class SyntheticDataset(BaseDataset):
         )
 
 
+#: small builtin stopword list (function words carry no visual content and
+#: dominate caption word counts — hashing them into the rendering would
+#: waste most of the signal on "a"/"the"/"of")
+_RENDER_STOPWORDS = frozenset(
+    "a an the of on in at is are was were with and to from for by as it its "
+    "this that there their his her he she they them then than into onto over "
+    "under near next be been being has have had do does did not no".split()
+)
+
+#: spatial modes of the caption renderer: 8 low-frequency 2D Fourier bases
+#: (kx, ky, phase) x 3 color channels = 24 continuous visual channels
+_RENDER_MODES = (
+    (0.0, 1.0, 0.0),
+    (1.0, 0.0, 0.8),
+    (1.0, 1.0, 1.6),
+    (0.0, 2.0, 2.4),
+    (2.0, 0.0, 3.2),
+    (1.0, 2.0, 4.0),
+    (2.0, 1.0, 4.8),
+    (2.0, 2.0, 5.6),
+)
+
+
+def _fnv1a(text: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in text.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def caption_render_vector(caption: str) -> np.ndarray:
+    """Caption -> unit vector in R^24 by SUMMING per-word pseudo-embeddings
+    (seeded by a stable word hash). Additive-by-word composition is the
+    point: a contrastive text tower can learn it as word embeddings + sum
+    pooling, so a tiny CLIP trained on rendered pairs generalizes to
+    UNSEEN captions made of seen words — which makes real-caption quality
+    numbers meaningful without downloading COCO images."""
+    import re
+
+    words = [
+        w
+        for w in re.findall(r"[a-z0-9]+", caption.lower())
+        if w not in _RENDER_STOPWORDS
+    ]
+    if not words:
+        words = ["empty"]
+    v = np.zeros(24, np.float64)
+    for w in set(words):  # set: caption is a bag of distinct content words
+        rng = np.random.default_rng(_fnv1a(w) % (2**63))
+        v += rng.standard_normal(24)
+    n = np.linalg.norm(v)
+    return (v / max(n, 1e-9)).astype(np.float32)
+
+
+def render_caption_image(
+    caption: str,
+    image_size: int,
+    noise_seed: Optional[int] = None,
+    noise: float = 0.03,
+) -> np.ndarray:
+    """Deterministic caption-conditioned rendering for REAL captions.
+
+    The caption's 24-dim render vector drives 8 low-frequency Fourier
+    modes per RGB channel; contrast is normalized per image. Distinct
+    content-word multisets give distinct images (continuous channels, no
+    combinatorial collisions), and the text->image map is compositional,
+    so it is learnable by the trained tiny-CLIP fixture (tvc/fixtures.py).
+    """
+    v = caption_render_vector(caption).reshape(8, 3)
+    s = image_size
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+    acc = np.zeros((s, s, 3), np.float32)
+    for (kx, ky, phase), weights in zip(_RENDER_MODES, v):
+        basis = np.cos(2.0 * np.pi * (kx * xx + ky * yy) + phase)
+        acc += basis[..., None] * weights
+    img = 0.5 + 0.45 * acc / (np.abs(acc).max() + 1e-6)
+    if noise_seed is not None and noise > 0:
+        r = np.random.default_rng(noise_seed)
+        img = img + noise * r.random((s, s, 3)).astype(np.float32)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+#: bundled caption asset (public COCO annotation TEXT, extracted once from
+#: the standard captions_val2017.json — images are not needed)
+_CAPTION_ASSET = (
+    Path(__file__).resolve().parent.parent
+    / "assets"
+    / "coco_captions_val2017.json.gz"
+)
+
+
+def load_coco_captions(
+    data_dir: str = "./data", split: str = "val", all_captions: bool = False
+) -> List[Tuple[int, str]]:
+    """Real COCO caption strings as (image_id, caption) pairs, in a FIXED
+    pseudorandom order (stable across seeds so train/eval windows never
+    overlap). Probes ``{data_dir}/coco/annotations/captions_{split}2017.json``
+    first, then the bundled asset. ``all_captions=False`` keeps one caption
+    per image (COCODataset parity)."""
+    import gzip
+
+    ann_path = (
+        Path(data_dir) / "coco" / "annotations" / f"captions_{split}2017.json"
+    )
+    if ann_path.exists():
+        with open(ann_path) as f:
+            ann = json.load(f)
+        pairs = [(a["image_id"], a["caption"].strip()) for a in ann["annotations"]]
+    elif _CAPTION_ASSET.exists() and split == "val":
+        with gzip.open(_CAPTION_ASSET, "rt") as f:
+            pairs = [tuple(p) for p in json.load(f)]
+    else:
+        raise FileNotFoundError(
+            f"no COCO captions: {ann_path} missing and no bundled asset"
+        )
+    if not all_captions:
+        seen, out = set(), []
+        for img_id, cap in pairs:
+            if img_id in seen:
+                continue
+            seen.add(img_id)
+            out.append((img_id, cap))
+        pairs = out
+    order = np.random.default_rng(12345).permutation(len(pairs))
+    return [pairs[int(i)] for i in order]
+
+
+class COCOCaptionsDataset(BaseDataset):
+    """REAL COCO val2017 captions paired with caption-conditioned rendered
+    images: natural-language text distributions (variable length, real
+    vocabulary, >16-token sequences) with zero image downloads. This is
+    the default quality-fixture dataset — the reference's measured
+    artifact is COCO n=50 (results/comprehensive_defense_evaluation/
+    four_scenarios_1754481353.json), and its captions ship in the repo's
+    annotation JSON."""
+
+    def __init__(self, config: DataConfig, skip: int = 0, all_captions: bool = False):
+        super().__init__(config)
+        pairs = load_coco_captions(
+            config.data_dir, config.split, all_captions=all_captions
+        )
+        if skip:
+            pairs = pairs[skip:]
+        if config.max_samples:
+            pairs = pairs[: config.max_samples]
+        for img_id, cap in pairs:
+            self.samples.append(Sample(image_path=None, caption=cap, image_id=img_id))
+
+    def load_image(self, sample: Sample) -> np.ndarray:
+        # noise seed from the stable image_id, not list position
+        return render_caption_image(
+            sample.caption,
+            self.config.image_size,
+            noise_seed=int(sample.image_id) % (2**31),
+        )
+
+
 class COCODataset(BaseDataset):
     """COCO captions (reference src/utils/data_loader.py:108-194).
 
@@ -351,6 +509,7 @@ class VisualGenomeDataset(BaseDataset):
 DATASETS = {
     "synthetic": SyntheticDataset,
     "coco": COCODataset,
+    "coco_captions": COCOCaptionsDataset,
     "flickr30k": Flickr30kDataset,
     "cc3m": CC3MDataset,
     "visual_genome": VisualGenomeDataset,

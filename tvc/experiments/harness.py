@@ -73,7 +73,11 @@ class RandomVariantAugmenter:
 @dataclasses.dataclass
 class HarnessConfig:
     experiment_mode: str = "four_scenarios"
-    dataset: str = "synthetic"
+    #: default quality data = REAL COCO val2017 caption text with
+    #: caption-conditioned rendered images (tvc/data/loaders.py
+    #: COCOCaptionsDataset) — the reference's measured artifact is COCO
+    #: n=50 (results/comprehensive_defense_evaluation/four_scenarios_*.json)
+    dataset: str = "coco_captions"
     #: cross_dataset mode: evaluate on this dataset after calibrating on
     #: ``dataset`` (reference README.md:884 COCO->Flickr30K). None = carve a
     #: disjoint split of the source dataset.
@@ -82,10 +86,11 @@ class HarnessConfig:
     num_samples: int = 50
     batch_size: int = 64
     attacks: Sequence[str] = ("pgd", "hubness")
-    #: tiny_trained (quality fixture, tvc/fixtures.py) | tiny (random
-    #: weights, fastest) | ViT-B/32 (real shape; real weights via
+    #: tiny_coco_trained (quality fixture trained on REAL COCO captions,
+    #: tvc/fixtures.py) | tiny_trained (synthetic-caption fixture) | tiny
+    #: (random weights, fastest) | ViT-B/32 (real shape; real weights via
     #: $TVC_CLIP_WEIGHTS)
-    clip_model: str = "tiny_trained"
+    clip_model: str = "tiny_coco_trained"
     use_sd: bool = False
     use_qwen: bool = False
     bank_size: int = 4096
@@ -106,7 +111,12 @@ class ExperimentHarness:
     def __init__(self, config: HarnessConfig):
         self.config = config
         cfg = config
-        if cfg.clip_model == "tiny_trained":
+        if cfg.clip_model == "tiny_coco_trained":
+            from tvc.fixtures import load_trained_tiny_coco
+
+            self.model = load_trained_tiny_coco(seed=cfg.seed)
+            clip_cfg = self.model.config
+        elif cfg.clip_model == "tiny_trained":
             from tvc.fixtures import load_trained_tiny
 
             self.model = load_trained_tiny(seed=cfg.seed)
@@ -240,7 +250,9 @@ class ExperimentHarness:
         exp = FourScenariosExperiment(
             self.model, self.make_pipeline(), self._fs_config(save=False)
         )
-        return exp.generate_adversarial(self.images, self.texts, attack)
+        # generate_adversarial returns the full AttackResult (scenario 1
+        # needs per-attack success criteria); harness modes only need pixels
+        return exp.generate_adversarial(self.images, self.texts, attack).adv_images
 
     def _fs_config(self, save: bool = True) -> FourScenariosConfig:
         from tvc.attacks import HubnessAttackConfig, PGDAttackConfig
@@ -522,7 +534,7 @@ class ExperimentHarness:
             tbatch = next(tgt.batches(batch_size=n))
             t_images, t_texts = tbatch["images"], tbatch["texts"]
         exp = FourScenariosExperiment(self.model, pipe, self._fs_config(save=False))
-        t_adv = exp.generate_adversarial(t_images, t_texts, attack)
+        t_adv = exp.generate_adversarial(t_images, t_texts, attack).adv_images
 
         clean_t = pipe.process_batch(t_images, list(t_texts))
         adv_t = pipe.process_batch(t_adv, list(t_texts))

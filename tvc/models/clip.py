@@ -115,6 +115,29 @@ class CLIPConfig:
         )
 
     @classmethod
+    def tiny_coco(cls) -> "CLIPConfig":
+        """Tiny quality-fixture config for REAL captions: the full CLIP BPE
+        vocab and a 32-token context (natural COCO captions exceed tiny's
+        16-token context; vocab 512 would hash-collide distinct words the
+        caption renderer keeps distinct — tvc/data/loaders.py
+        render_caption_image)."""
+        return cls(
+            image_size=32,
+            patch_size=8,
+            vision_width=64,
+            vision_layers=2,
+            vision_heads=2,
+            vocab_size=49408,
+            context_length=32,
+            text_width=64,
+            text_layers=2,
+            text_heads=2,
+            embed_dim=32,
+            dtype=jnp.float32,
+            model_name="tiny_coco",
+        )
+
+    @classmethod
     def from_name(cls, name: str, **kw) -> "CLIPConfig":
         """Resolve a reference model name (src/__init__.py:99-108
         SUPPORTED_CLIP_MODELS, both OpenAI "ViT-B/32" and HF
@@ -131,6 +154,7 @@ class CLIPConfig:
             # forward kwargs (e.g. int8_serving=True) instead of silently
             # dropping them
             "tiny": lambda **k: dataclasses.replace(cls.tiny(), **k),
+            "tiny_coco": lambda **k: dataclasses.replace(cls.tiny_coco(), **k),
         }
         key = name.strip().lower()
         if key not in canon:

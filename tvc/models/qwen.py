@@ -131,17 +131,19 @@ class QwenAttention(nn.Module):
         else:
             new_cache = None
 
-        # GQA: repeat kv heads
+        # GQA without materializing repeated KV: q regrouped to
+        # [B, T, KV, reps, Dh] contracts against k/v [B, S, KV, Dh]
+        # directly. jnp.repeat costs real HBM traffic at decode: at
+        # B=1280, S=64 the repeated KV is 7 GB/step of reads (measured
+        # 100 ms/step before; the roofline is ~10 ms).
         reps = c.num_heads // c.num_kv_heads
-        k = jnp.repeat(k, reps, axis=2)
-        v = jnp.repeat(v, reps, axis=2)
-
+        qg = q.reshape(B, T, c.num_kv_heads, reps, head_dim)
         logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            "btkrd,bskd->bkrts", qg, k, preferred_element_type=jnp.float32
         ) / np.sqrt(head_dim)
-        logits = logits + mask
+        logits = logits + mask[:, 0][:, None, None]  # [B,1,1,T,S]
         weights = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = jnp.einsum("bkrts,bskd->btkrd", weights, v)
         out = out.reshape(B, T, c.num_heads * head_dim)
         out = nn.Dense(c.hidden_size, dtype=c.dtype, use_bias=False, name="o")(out)
         return out, new_cache
@@ -244,6 +246,20 @@ _LANG_NAMES = {
 }
 
 
+def _quantize_leaf(path, x, include_embed: bool = True):
+    """Per-output-channel symmetric int8 for 2D matrix params; other leaves
+    pass through. Shared by quantize_weights_int8 (post-hoc) and the
+    int8-at-init path (Qwen2-7B: a full-precision init tree would not fit
+    a 16 GB chip in the first place)."""
+    is_embed = any(getattr(p, "key", None) == "embed" for p in path)
+    if getattr(x, "ndim", 0) != 2 or (is_embed and not include_embed):
+        return x
+    xf = jnp.asarray(x, jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=0), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return {"int8": wq, "scale": s.astype(jnp.float32)}
+
+
 class QwenModel:
     """User-facing wrapper (implied reference API, SURVEY.md §2.2):
     ``generate_paraphrases(text, num_paraphrases, temperature)``."""
@@ -257,24 +273,34 @@ class QwenModel:
         max_new_tokens: int = 32,
         cast_params_bf16: bool = False,
         mesh=None,
+        init_int8: bool = False,
     ):
         """cast_params_bf16: store matrix params in bf16 (halves HBM reads
         per decode step; norms/biases stay f32). Recommended for inference.
 
         mesh: optional Mesh with a 'model' axis — params get Megatron-layout
         tensor-parallel shardings (tvc/parallel/tp.py) and the decode
-        program runs TP (required for Qwen2-7B on 16 GB chips)."""
+        program runs TP (required for Qwen2-7B on 16 GB chips).
+
+        init_int8: initialize DIRECTLY into int8 weights, layer by layer —
+        the only way to stand up Qwen2-7B on one 16 GB chip (a full f32
+        init tree is ~30 GB; even bf16 is 15.2 GB before quantizing; the
+        layer-wise path peaks at one layer's f32 transient, ~0.9 GB)."""
         self.config = config or QwenConfig.tiny()
         self.module = QwenLM(self.config)
         self.max_new_tokens = max_new_tokens
         c = self.config
         if params is None:
-            dummy = jnp.zeros((1, 4), jnp.int32)
-            pos = jnp.zeros((1, 4), jnp.int32)
-            mask = jnp.zeros((1, 1, 4, 4), jnp.float32)
-            params = jax.jit(self.module.init)(
-                jax.random.PRNGKey(seed), dummy, pos, mask
-            )["params"]
+            if init_int8:
+                params = self._init_params_int8(seed)
+                cast_params_bf16 = False  # int8 leaves are dicts; cast would corrupt
+            else:
+                dummy = jnp.zeros((1, 4), jnp.int32)
+                pos = jnp.zeros((1, 4), jnp.int32)
+                mask = jnp.zeros((1, 1, 4, 4), jnp.float32)
+                params = jax.jit(self.module.init)(
+                    jax.random.PRNGKey(seed), dummy, pos, mask
+                )["params"]
         if cast_params_bf16:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16) if getattr(x, "ndim", 0) >= 2 else x,
@@ -298,6 +324,7 @@ class QwenModel:
             )
         self.tokenizer = tokenizer
         self._decode_fn = None
+        self._decode_state_cache = None
 
     # -- int8 weight-only serving ----------------------------------------------
     def quantize_weights_int8(self, include_embed: bool = True) -> None:
@@ -316,23 +343,74 @@ class QwenModel:
 
         include_embed: also quantize the [vocab, hidden] embedding table
         (27%% of Qwen2-0.5B weight bytes; tied lm-head logits then use the
-        dequantized table). Not supported together with tensor-parallel
-        ``mesh`` sharding."""
-        if self.mesh is not None:
-            raise NotImplementedError("int8 weights + TP sharding")
-
-        def q(path, x):
-            is_embed = any(getattr(p, "key", None) == "embed" for p in path)
-            if getattr(x, "ndim", 0) != 2 or (is_embed and not include_embed):
-                return x
-            xf = jnp.asarray(x, jnp.float32)
-            s = jnp.maximum(jnp.max(jnp.abs(xf), axis=0), 1e-12) / 127.0
-            wq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
-            return {"int8": wq, "scale": s.astype(jnp.float32)}
+        dequantized table). Composes with tensor-parallel ``mesh``
+        sharding: the decode's stacked layer tree re-shards int8+scale
+        leaves over the model axis (tvc/parallel/tp.py
+        shard_stacked_qwen_layers)."""
 
         self.params = jax.jit(
-            lambda p: jax.tree_util.tree_map_with_path(q, p)
+            lambda p: jax.tree_util.tree_map_with_path(
+                lambda pa, x: _quantize_leaf(pa, x, include_embed), p
+            )
         )(self.params)
+        self._decode_state_cache = None  # rebuild stacked decode tree
+        self._decode_fn = None
+
+    def _init_params_int8(self, seed: int) -> Dict:
+        """Layer-wise random init straight into int8 serving form. Each
+        QwenBlock inits and quantizes inside ONE jitted program, so the f32
+        transient is one layer (~0.9 GB at 7B shape), never the whole tree.
+        Matches the module's param structure (embed / layer_i / ln_f /
+        lm_head) so the stacked-decode path works unchanged."""
+        c = self.config
+        block = QwenBlock(c)
+        x = jnp.zeros((1, 4, c.hidden_size), c.dtype)
+        pos = jnp.zeros((1, 4), jnp.int32)
+        mask = jnp.zeros((1, 1, 4, 4), jnp.float32)
+
+        init_layer = jax.jit(
+            lambda key: jax.tree_util.tree_map_with_path(
+                _quantize_leaf, block.init(key, x, pos, mask)["params"]
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(seed), c.num_layers + 2)
+        params: Dict[str, Any] = {
+            f"layer_{i}": jax.block_until_ready(init_layer(keys[i]))
+            for i in range(c.num_layers)
+        }
+        # embedding table (HF init convention: normal(0, 0.02)); path key
+        # "embed" so _quantize_leaf's include_embed gate applies as usual
+        init_embed = jax.jit(
+            lambda key: jax.tree_util.tree_map_with_path(
+                _quantize_leaf,
+                {
+                    "embed": {
+                        "embedding": 0.02
+                        * jax.random.normal(
+                            key, (c.vocab_size, c.hidden_size), jnp.float32
+                        )
+                    }
+                },
+            )
+        )
+        params["embed"] = init_embed(keys[-2])["embed"]
+        params["ln_f"] = {"scale": jnp.ones((c.hidden_size,), jnp.float32)}
+        if not c.tie_embeddings:
+            init_head = jax.jit(
+                lambda key: jax.tree_util.tree_map_with_path(
+                    _quantize_leaf,
+                    {
+                        "lm_head": {
+                            "kernel": 0.02
+                            * jax.random.normal(
+                                key, (c.hidden_size, c.vocab_size), jnp.float32
+                            )
+                        }
+                    },
+                )
+            )
+            params["lm_head"] = init_head(keys[-1])["lm_head"]
+        return params
 
     @staticmethod
     def _dequant(params):
@@ -350,29 +428,106 @@ class QwenModel:
         )
 
     # -- compiled prefill+decode -----------------------------------------------
-    def _build_decode(self, prompt_len: int, batch: int):
+    def _decode_state(self):
+        """(non_layer_params, stacked_layer_params) for the scan-over-layers
+        decode. Stacking happens ONCE here (device-side), not per call:
+        decode xs are [L, ...] arrays, so the compiled program is one
+        layer's HLO scanned L times — 24x smaller than the unrolled module
+        (measured: unrolled 0.5B decode compiled in ~260-1000 s through the
+        remote TPU compiler; scanned compiles in tens of seconds). Cached;
+        invalidated by quantize_weights_int8."""
+        if self._decode_state_cache is not None:
+            return self._decode_state_cache
+        c = self.config
+        params = self.params
+        layer_trees = [params[f"layer_{i}"] for i in range(c.num_layers)]
+        is_q = lambda x: isinstance(x, dict) and "int8" in x
+
+        def stack(*leaves):
+            if is_q(leaves[0]):
+                return {
+                    "int8": jnp.stack([l["int8"] for l in leaves]),
+                    "scale": jnp.stack([l["scale"] for l in leaves]),
+                }
+            return jnp.stack(leaves)
+
+        stacked = jax.tree_util.tree_map(stack, *layer_trees, is_leaf=is_q)
+        if self.mesh is not None:
+            from tvc.parallel.tp import shard_stacked_qwen_layers
+
+            stacked = shard_stacked_qwen_layers(stacked, self.mesh)
+        non_layer = {
+            k: v for k, v in params.items() if not k.startswith("layer_")
+        }
+        self._decode_state_cache = (non_layer, stacked)
+        return self._decode_state_cache
+
+    def _build_decode(self, prompt_len: int, batch: int, n_samples: int = 1):
+        """n_samples: decode n sampled continuations per prompt from ONE
+        shared prefill. The paraphrase batch runs N identical prompt rows
+        per query; prefill is ~3x the decode FLOPs at paraphrase shapes
+        (plen 48 vs 16 new tokens), so prefilling unique prompts once and
+        tiling the KV cache N-fold is a ~3x wall win at N=5 (measured
+        4.6 -> 1.5 ms/query, B=256)."""
         c = self.config
         S = prompt_len + self.max_new_tokens
-        module = self.module
         eot = getattr(self.tokenizer, "eot_id", -1)
+        block = QwenBlock(c)
+        head_dim = c.hidden_size // c.num_heads
+        dequant = QwenModel._dequant
 
-        def decode(params, prompt_tokens, lengths, key, temperature):
+        def rmsnorm(x, scale):
+            x32 = x.astype(jnp.float32)
+            var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+            return (x32 * jax.lax.rsqrt(var + c.rms_eps) * scale).astype(x.dtype)
+
+        def lm_head(x, non_layer):
+            """Logits in c.dtype matmul (f32 accumulate on the MXU), f32 out
+            — numerically identical to nn.Embed.attend / the module path
+            for tied embeddings; the untied head also computes in c.dtype
+            (an f32 [B, vocab] GEMM at 7B scale is ~8x off MXU peak)."""
+            if c.tie_embeddings:
+                tbl = dequant(non_layer["embed"])["embedding"]
+                return (x.astype(c.dtype) @ tbl.astype(c.dtype).T).astype(
+                    jnp.float32
+                )
+            kern = dequant(non_layer["lm_head"])["kernel"]
+            return (x.astype(c.dtype) @ kern.astype(c.dtype)).astype(jnp.float32)
+
+        def run_layers(non_layer, stacked, x, positions, mask, caches, cache_index):
+            """One lax.scan over the L stacked layers. caches: (ck, cv)
+            [L, B, S, KV, Dh] or None (no-cache forward)."""
+
+            def body(h, xs):
+                lp, cache = xs
+                # int8 dequant INSIDE the body: only one layer's bf16 copy
+                # is ever materialized (whole-tree dequant of int8 Qwen2-7B
+                # would need a 14 GB transient next to the 7.5 GB int8
+                # tree — over the 16 GB HBM)
+                h, new_cache = block.apply(
+                    {"params": dequant(lp)}, h, positions, mask, cache, cache_index
+                )
+                return h, new_cache
+
+            x, new_caches = jax.lax.scan(body, x, (stacked, caches))
+            return x, new_caches
+
+        def embed_lookup(non_layer, tokens):
+            tbl = dequant(non_layer["embed"])["embedding"]
+            return jnp.take(tbl, tokens, axis=0).astype(c.dtype)
+
+        def decode(non_layer, stacked, prompt_tokens, lengths, key, temperature):
             """lengths [B]: real (un-padded) prompt lengths <= prompt_len.
             Cache slots [0, plen) hold the padded prompt; generated tokens
             occupy [plen, S). Pad slots are masked out of attention; RoPE
             positions of generated tokens continue per-sample from the real
             prompt end."""
-            params = QwenModel._dequant(params)  # int8 serving weights
             B = prompt_tokens.shape[0]
             positions = jnp.broadcast_to(jnp.arange(prompt_len), (B, prompt_len))
-            head_dim = c.hidden_size // c.num_heads
-            caches = [
-                (
-                    jnp.zeros((B, S, c.num_kv_heads, head_dim), c.dtype),
-                    jnp.zeros((B, S, c.num_kv_heads, head_dim), c.dtype),
-                )
-                for _ in range(c.num_layers)
-            ]
+            caches = (
+                jnp.zeros((c.num_layers, B, S, c.num_kv_heads, head_dim), c.dtype),
+                jnp.zeros((c.num_layers, B, S, c.num_kv_heads, head_dim), c.dtype),
+            )
             ks = jnp.arange(S)
             # [B, 1, plen, S]: causal over the real prompt only
             prefill_mask = jnp.where(
@@ -381,11 +536,24 @@ class QwenModel:
                 0.0,
                 -jnp.inf,
             )
-            logits, caches = module.apply(
-                {"params": params}, prompt_tokens, positions, prefill_mask, caches, 0,
-                gather_index=lengths - 1,  # head only at the last real token
+            x = embed_lookup(non_layer, prompt_tokens)
+            x, caches = run_layers(
+                non_layer, stacked, x, positions, prefill_mask, caches, 0
             )
-            next_logits = logits[:, 0]  # [B, vocab]
+            x = rmsnorm(x, non_layer["ln_f"]["scale"])
+            # head only at the last real token per sample
+            x = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)
+            next_logits = lm_head(x, non_layer)[:, 0]  # [B, vocab]
+
+            if n_samples > 1:
+                # shared-prefix tiling: each prompt's prefilled KV serves
+                # n_samples independent sampling chains (row i of the
+                # output batch = prompt i // n_samples)
+                caches = jax.tree_util.tree_map(
+                    lambda a: jnp.repeat(a, n_samples, axis=1), caches
+                )
+                next_logits = jnp.repeat(next_logits, n_samples, axis=0)
+                lengths = jnp.repeat(lengths, n_samples, axis=0)
 
             def sample(lg, k):
                 return jax.lax.cond(
@@ -407,13 +575,15 @@ class QwenModel:
                     (ks[None, :] >= prompt_len) & (ks[None, :] <= cache_pos)
                 )
                 step_mask = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
-                logits, caches = module.apply(
-                    {"params": params}, tok[:, None], positions, step_mask,
-                    caches, cache_pos,
+                x = embed_lookup(non_layer, tok[:, None])
+                x, caches = run_layers(
+                    non_layer, stacked, x, positions, step_mask, caches, cache_pos
                 )
+                x = rmsnorm(x, non_layer["ln_f"]["scale"])
+                logits = lm_head(x, non_layer)
                 return (caches, logits[:, 0], key, done), tok
 
-            done0 = jnp.zeros((B,), bool)
+            done0 = jnp.zeros((next_logits.shape[0],), bool)  # B * n_samples
             (_, _, _, _), tokens = jax.lax.scan(
                 step,
                 (caches, next_logits, key, done0),
@@ -428,8 +598,12 @@ class QwenModel:
         prompts: List[str],
         temperature: float = 0.8,
         seed: int = 0,
+        n_samples: int = 1,
     ) -> List[str]:
-        """Batched prompt -> continuation decode."""
+        """Batched prompt -> continuation decode. ``n_samples > 1`` returns
+        n independent sampled continuations per prompt (output rows
+        ``i*n .. (i+1)*n`` belong to prompt i) from ONE shared prefill —
+        the cheap way to run the paraphrase batch's N-samples-per-query."""
         tok = self.tokenizer(prompts)  # [B, ctx] padded
         # truncate to the longest real prompt, bucketed to a multiple of 8 so
         # nearby prompt lengths reuse one compiled decode program
@@ -439,11 +613,16 @@ class QwenModel:
             self.config.max_seq_len - self.max_new_tokens,
         )
         tok = tok[:, :plen]
-        key_shape = (plen, tok.shape[0])
+        key_shape = (plen, tok.shape[0], n_samples)
         if self._decode_fn is None or self._decode_fn[0] != key_shape:
-            self._decode_fn = (key_shape, self._build_decode(plen, tok.shape[0]))
+            self._decode_fn = (
+                key_shape,
+                self._build_decode(plen, tok.shape[0], n_samples),
+            )
+        non_layer, stacked = self._decode_state()
         out = self._decode_fn[1](
-            self.params,
+            non_layer,
+            stacked,
             jnp.asarray(tok),
             jnp.asarray(np.minimum(lengths, plen), jnp.int32),
             jax.random.PRNGKey(seed),
@@ -465,8 +644,12 @@ class QwenModel:
     ) -> List[str]:
         """(implied reference API, text_augment.py:304-308) — N samples of the
         paraphrase prompt, batched into one decode."""
-        prompts = [PARAPHRASE_PROMPT.format(text=text)] * num_paraphrases
-        outs = self.generate(prompts, temperature=temperature, seed=_stable_seed(text))
+        outs = self.generate(
+            [PARAPHRASE_PROMPT.format(text=text)],
+            temperature=temperature,
+            seed=_stable_seed(text),
+            n_samples=num_paraphrases,
+        )
         return [o.strip() for o in outs if o.strip()]
 
     def generate_paraphrases_batch(
@@ -481,10 +664,14 @@ class QwenModel:
         batch per query in round 1; at 9.7k q/s ambitions variant
         generation was the unmeasured wall)."""
         n = num_paraphrases
-        prompts = [PARAPHRASE_PROMPT.format(text=t) for t in texts for _ in range(n)]
+        prompts = [PARAPHRASE_PROMPT.format(text=t) for t in texts]
         if not prompts:
             return [[] for _ in texts]
-        outs = self.generate(prompts, temperature=temperature, seed=seed)
+        # one prefill per UNIQUE prompt; the decode tiles each prompt's KV
+        # n-fold for independent sampling chains (n_samples path)
+        outs = self.generate(
+            prompts, temperature=temperature, seed=seed, n_samples=n
+        )
         return [
             [o.strip() for o in outs[i * n : (i + 1) * n] if o.strip()]
             for i in range(len(texts))

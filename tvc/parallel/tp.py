@@ -97,6 +97,41 @@ def shard_qwen_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def shard_stacked_qwen_layers(stacked: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """TP-shard the decode's STACKED layer tree ([L, ...] leaves, one
+    QwenBlock param structure — tvc/models/qwen.QwenModel._decode_state).
+
+    Same Megatron layout as qwen_param_specs with a leading replicated L
+    dim, and int8-aware: quantized leaves are {"int8": [L, in, out],
+    "scale": [L, out]} — int8 shards like its kernel, the per-output
+    scale shards with the column-parallel output dim (this is the int8xTP
+    composition round 2 left as NotImplementedError)."""
+    axis = mesh.shape[MODEL_AXIS]
+
+    def place(path, leaf):
+        ps = "/" + "/".join(getattr(k, "key", str(k)) for k in path) + "/"
+        col = any(t in ps for t in ("/q/", "/k/", "/v/", "/gate/", "/up/"))
+        row = any(t in ps for t in ("/o/", "/down/"))
+        last = getattr(path[-1], "key", "")
+        spec = P()
+        if col:
+            if last in ("kernel", "int8") and leaf.ndim == 3:
+                spec = P(None, None, MODEL_AXIS)  # output-dim sharded
+            elif last in ("bias", "scale") and leaf.ndim == 2:
+                spec = P(None, MODEL_AXIS)  # per-output-feature vectors
+        elif row:
+            if last in ("kernel", "int8") and leaf.ndim == 3:
+                spec = P(None, MODEL_AXIS, None)  # input-dim sharded
+            # row-parallel scale is per-OUTPUT column [L, H]: replicated
+        for dim, name in enumerate(spec):
+            if name is not None and leaf.shape[dim] % axis != 0:
+                spec = P()  # tiny test configs: drop non-divisible shardings
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, stacked)
+
+
 def make_tp_forward(model, mesh: Mesh):
     """Jitted TP forward: (sharded_params, tokens [B, T]) -> logits.
 
