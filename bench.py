@@ -155,39 +155,48 @@ def _qwen7b_stage(rtt, n_prompts=64, n_qwen=3):
     from tvc.data.loaders import load_coco_captions
     from tvc.models.qwen import QwenConfig, QwenModel
 
-    t0 = time.time()
-    qwen = QwenModel(
-        QwenConfig.qwen2_7b(), seed=0, max_new_tokens=16, init_int8=True
-    )
-    log(f"qwen2-7b int8 init: {time.time() - t0:.1f}s")
-    texts = [c for _, c in load_coco_captions()[:n_prompts]]
-
-    t0 = time.time()
-    paras = qwen.generate_paraphrases_batch(texts, n_qwen)
-    log(f"qwen2-7b decode compile+run ({n_prompts}x{n_qwen}): {time.time() - t0:.1f}s")
-    assert len(paras) == n_prompts
-    times = []
-    for i in range(3):
+    qwen = None
+    try:
         t0 = time.time()
-        qwen.generate_paraphrases_batch(texts, n_qwen, seed=i)
-        times.append(time.time() - t0)
-    t_dec = max(float(np.median(times)) - rtt, 1e-9)
-    tok_per_s = n_prompts * n_qwen * qwen.max_new_tokens / t_dec
-    ms_per_q = t_dec / n_prompts * 1e3
-    log(
-        f"qwen2-7b paraphrase decode: {tok_per_s:.0f} tok/s, "
-        f"{ms_per_q:.2f} ms/query ({n_qwen} paraphrases x 16 new tokens; "
-        f"reference Qwen2-7B: 3.2 ms/query on 6x RTX 4090)"
-    )
-    out = {
-        "qwen7b_tok_per_s": round(tok_per_s, 1),
-        "qwen7b_ms_per_query": round(ms_per_q, 3),
-        "qwen7b_paraphrases_per_query": n_qwen,
-        "qwen7b_precision": "int8-weight-only",
-    }
-    del qwen
-    gc.collect()
-    return out
+        # decode_only: per-layer params freed once the stacked decode tree
+        # exists — holding both is ~14 GB and OOMs next to the KV cache
+        qwen = QwenModel(
+            QwenConfig.qwen2_7b(), seed=0, max_new_tokens=16,
+            init_int8=True, decode_only=True,
+        )
+        log(f"qwen2-7b int8 init: {time.time() - t0:.1f}s")
+        texts = [c for _, c in load_coco_captions()[:n_prompts]]
+
+        t0 = time.time()
+        paras = qwen.generate_paraphrases_batch(texts, n_qwen)
+        log(f"qwen2-7b decode compile+run ({n_prompts}x{n_qwen}): {time.time() - t0:.1f}s")
+        assert len(paras) == n_prompts
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            qwen.generate_paraphrases_batch(texts, n_qwen, seed=i)
+            times.append(time.time() - t0)
+        t_dec = max(float(np.median(times)) - rtt, 1e-9)
+        tok_per_s = n_prompts * n_qwen * qwen.max_new_tokens / t_dec
+        ms_per_q = t_dec / n_prompts * 1e3
+        log(
+            f"qwen2-7b paraphrase decode: {tok_per_s:.0f} tok/s, "
+            f"{ms_per_q:.2f} ms/query ({n_qwen} paraphrases x 16 new tokens; "
+            f"reference Qwen2-7B: 3.2 ms/query on 6x RTX 4090)"
+        )
+        return {
+            "qwen7b_tok_per_s": round(tok_per_s, 1),
+            "qwen7b_ms_per_query": round(ms_per_q, 3),
+            "qwen7b_paraphrases_per_query": n_qwen,
+            "qwen7b_precision": "int8-weight-only",
+        }
+    finally:
+        # free the ~14 GB of 7B state even on failure: an exception
+        # propagating with a live traceback pins the frame (and thus the
+        # model) — which is exactly how the round-3 first run OOMed the SD
+        # stage that ran next
+        del qwen
+        gc.collect()
 
 
 def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
@@ -489,6 +498,8 @@ def main():
         except Exception as e:
             log(f"qwen full stage failed: {type(e).__name__}: {e}")
             full["full_error"] = f"{type(e).__name__}: {e}"[:200]
+            del e
+            import gc; gc.collect()
 
     # -- config #4 at spec scale: Qwen2-7B paraphrase decode -------------------
     if "--skip-7b" not in sys.argv and "--skip-qwen" not in sys.argv and not small:
@@ -497,6 +508,8 @@ def main():
         except Exception as e:
             log(f"qwen2-7b stage failed: {type(e).__name__}: {e}")
             full["qwen7b_error"] = f"{type(e).__name__}: {e}"[:200]
+            del e  # drop the traceback now: its frames pin device buffers
+            import gc; gc.collect()
 
     # -- config #5: SD genref amortized through the bank ----------------------
     if "--skip-sd" not in sys.argv and not small:

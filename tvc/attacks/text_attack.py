@@ -21,6 +21,7 @@ exercisable without downloads.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -69,11 +70,34 @@ BUILTIN_SYNONYMS: Dict[str, List[str]] = {
 }
 
 
+#: resolved ONCE: None = not probed yet, False = corpus unavailable,
+#: otherwise the loaded wordnet corpus reader. nltk's LazyCorpusLoader
+#: re-probes the whole data path on EVERY access when the corpus is
+#: missing (~70 stat() calls per word — measured 4 ms/query of pure
+#: filesystem probing in the zero-egress image), so the failure must be
+#: cached, not rediscovered per lookup.
+_WORDNET: object = None
+
+
+def _wordnet_corpus():
+    global _WORDNET
+    if _WORDNET is None:
+        try:
+            from nltk.corpus import wordnet
+
+            wordnet.synsets("test")  # force the lazy load exactly once
+            _WORDNET = wordnet
+        except Exception:  # corpus unavailable / import error
+            _WORDNET = False
+    return _WORDNET
+
+
 def _wordnet_synonyms(word: str, max_count: int) -> List[str]:
     """WordNet synonyms, gated on corpus availability."""
+    wordnet = _wordnet_corpus()
+    if not wordnet:
+        return []
     try:
-        from nltk.corpus import wordnet
-
         synonyms = []
         for syn in wordnet.synsets(word):
             for lemma in syn.lemmas():
@@ -81,17 +105,20 @@ def _wordnet_synonyms(word: str, max_count: int) -> List[str]:
                 if name != word and name.isalpha() and name not in synonyms:
                     synonyms.append(name)
         return synonyms[:max_count]
-    except LookupError:
+    except Exception:
         return []
-    except Exception:  # corpus unavailable / import error
-        return []
+
+
+@functools.lru_cache(maxsize=65536)
+def _synonyms_cached(word: str, max_count: int) -> Tuple[str, ...]:
+    syns = _wordnet_synonyms(word, max_count)
+    if syns:
+        return tuple(syns)
+    return tuple(BUILTIN_SYNONYMS.get(word, ())[:max_count])
 
 
 def get_synonyms(word: str, max_count: int = 10) -> List[str]:
-    syns = _wordnet_synonyms(word, max_count)
-    if syns:
-        return syns
-    return list(BUILTIN_SYNONYMS.get(word, []))[:max_count]
+    return list(_synonyms_cached(word, max_count))
 
 
 @dataclasses.dataclass(frozen=True)

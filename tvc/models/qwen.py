@@ -274,6 +274,7 @@ class QwenModel:
         cast_params_bf16: bool = False,
         mesh=None,
         init_int8: bool = False,
+        decode_only: bool = False,
     ):
         """cast_params_bf16: store matrix params in bf16 (halves HBM reads
         per decode step; norms/biases stay f32). Recommended for inference.
@@ -285,10 +286,17 @@ class QwenModel:
         init_int8: initialize DIRECTLY into int8 weights, layer by layer —
         the only way to stand up Qwen2-7B on one 16 GB chip (a full f32
         init tree is ~30 GB; even bf16 is 15.2 GB before quantizing; the
-        layer-wise path peaks at one layer's f32 transient, ~0.9 GB)."""
+        layer-wise path peaks at one layer's f32 transient, ~0.9 GB).
+
+        decode_only: this model will only ever run the stacked-layer decode
+        path (generate / paraphrases) — per-layer param entries are FREED
+        once the stacked decode tree is built, halving peak HBM. Required
+        to fit Qwen2-7B next to its KV cache on one 16 GB chip; the
+        module.apply forward paths raise KeyError afterwards."""
         self.config = config or QwenConfig.tiny()
         self.module = QwenLM(self.config)
         self.max_new_tokens = max_new_tokens
+        self.decode_only = decode_only
         c = self.config
         if params is None:
             if init_int8:
@@ -443,15 +451,41 @@ class QwenModel:
         layer_trees = [params[f"layer_{i}"] for i in range(c.num_layers)]
         is_q = lambda x: isinstance(x, dict) and "int8" in x
 
-        def stack(*leaves):
-            if is_q(leaves[0]):
-                return {
-                    "int8": jnp.stack([l["int8"] for l in leaves]),
-                    "scale": jnp.stack([l["scale"] for l in leaves]),
-                }
-            return jnp.stack(leaves)
+        def _delete(leaf):
+            for a in (
+                (leaf["int8"], leaf["scale"]) if is_q(leaf) else (leaf,)
+            ):
+                if hasattr(a, "delete"):
+                    a.delete()
 
-        stacked = jax.tree_util.tree_map(stack, *layer_trees, is_leaf=is_q)
+        # leaf-group-at-a-time stacking; with decode_only, each group's
+        # per-layer constituents are FREED right after its [L, ...] stack
+        # exists. At Qwen2-7B int8 (~7.1 GB params) holding the per-layer
+        # tree AND the full stacked copy simultaneously is ~14 GB — over a
+        # 16 GB chip once the KV cache lands (measured OOM); freeing as we
+        # go bounds the peak at params + one stacked group (~9 GB).
+        flats = [
+            jax.tree_util.tree_flatten(t, is_leaf=is_q) for t in layer_trees
+        ]
+        treedef = flats[0][1]
+        stacked_leaves = []
+        for group in zip(*(f[0] for f in flats)):
+            if is_q(group[0]):
+                s = {
+                    "int8": jnp.stack([g["int8"] for g in group]),
+                    "scale": jnp.stack([g["scale"] for g in group]),
+                }
+            else:
+                s = jnp.stack(group)
+            if self.decode_only:
+                jax.block_until_ready(s)
+                for g in group:
+                    _delete(g)
+            stacked_leaves.append(s)
+        stacked = jax.tree_util.tree_unflatten(treedef, stacked_leaves)
+        if self.decode_only:
+            for i in range(c.num_layers):
+                params.pop(f"layer_{i}", None)
         if self.mesh is not None:
             from tvc.parallel.tp import shard_stacked_qwen_layers
 
