@@ -116,7 +116,11 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
         t0 = time.time()
         one_iteration()
         times.append(time.time() - t0)
-    t_cold = max(float(np.median(times)) - rtt, 1e-9)
+    # each iteration has TWO device->host readbacks (the decoded paraphrase
+    # ids inside generate(), then the defended-step agg) — each pays the
+    # axon tunnel RTT, which directly-attached hardware doesn't have
+    # (bench protocol: "latency subtracts the tunnel RTT per readback")
+    t_cold = max(float(np.median(times)) - 2 * rtt, 1e-9)
 
     # decompose: qwen decode alone (same batch), for the component table
     t0 = time.time()

@@ -131,3 +131,31 @@ def test_fused_text_tower_parity():
     want = np.asarray(model.text_features(model.params, tokens))
     got = np.asarray(text_features_fused(model.params, cfg, tokens))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_decode_gqa_kernel_parity():
+    """Fused decode-attention kernel vs the jnp oracle, GQA shapes of both
+    Qwen2-0.5B (KV=2, reps=7, Dh=64) and 7B (KV=4, reps=7, Dh=128)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.core.pallas.decode_attention_kernel import (
+        decode_gqa_attention,
+        decode_gqa_reference,
+    )
+
+    for B, KV, R, S, D in [(16, 2, 7, 24, 64), (8, 4, 7, 16, 128)]:
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv_, km = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (B, KV, R, D), jnp.float32)
+        k = jax.random.normal(kk, (B, KV, S, D), jnp.float32)
+        v = jax.random.normal(kv_, (B, KV, S, D), jnp.float32)
+        # random validity mask with at least one valid slot per row
+        valid = jax.random.bernoulli(km, 0.7, (B, S)).at[:, 0].set(True)
+        mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+        got = decode_gqa_attention(q, k, v, mask, block_b=8)
+        want = decode_gqa_reference(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

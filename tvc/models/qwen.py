@@ -24,6 +24,8 @@ import numpy as np
 from flax import linen as nn
 from jax import Array
 
+from tvc.core.pallas.decode_attention_kernel import decode_gqa_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class QwenConfig:
@@ -490,11 +492,54 @@ class QwenModel:
             from tvc.parallel.tp import shard_stacked_qwen_layers
 
             stacked = shard_stacked_qwen_layers(stacked, self.mesh)
+        else:
+            # single-device: merge q|k|v and gate|up into single GEMM
+            # operands (concat along the OUTPUT dim — each output column's
+            # contraction is unchanged, so numerics match the unmerged
+            # path). 7 small GEMMs/layer -> 4; the k/v projections alone
+            # are [H, KV*Dh] = [896, 128] at 0.5B, far below MXU tile
+            # efficiency. NOT done under TP: column-sharding a concatenated
+            # dim would split at merged-width/t boundaries, breaking the
+            # per-shard q|k|v head grouping.
+            stacked = self._merge_stacked(stacked)
         non_layer = {
             k: v for k, v in params.items() if not k.startswith("layer_")
         }
         self._decode_state_cache = (non_layer, stacked)
         return self._decode_state_cache
+
+    @staticmethod
+    def _merge_stacked(stacked: Dict[str, Any]) -> Dict[str, Any]:
+        """Merged-GEMM decode layout from the stacked per-module tree.
+        int8-aware: concatenating per-output-channel quantized kernels
+        along the output dim concatenates their scales."""
+        is_q = lambda x: isinstance(x, dict) and "int8" in x
+
+        def cat(leaves):
+            if is_q(leaves[0]):
+                out = {
+                    "int8": jnp.concatenate([l["int8"] for l in leaves], axis=-1),
+                    "scale": jnp.concatenate([l["scale"] for l in leaves], axis=-1),
+                }
+            else:
+                out = jnp.concatenate(leaves, axis=-1)
+            jax.block_until_ready(out)
+            for l in leaves:  # free sources: 7B can't hold two copies
+                for a in (l["int8"], l["scale"]) if is_q(l) else (l,):
+                    if hasattr(a, "delete"):
+                        a.delete()
+            return out
+
+        attn, mlp = stacked["attn"], stacked["mlp"]
+        return {
+            "ln_attn": stacked["ln_attn"]["scale"],
+            "ln_mlp": stacked["ln_mlp"]["scale"],
+            "wqkv": cat([attn["q"]["kernel"], attn["k"]["kernel"], attn["v"]["kernel"]]),
+            "bqkv": cat([attn["q"]["bias"], attn["k"]["bias"], attn["v"]["bias"]]),
+            "wo": attn["o"]["kernel"],
+            "wgu": cat([mlp["gate"]["kernel"], mlp["up"]["kernel"]]),
+            "wd": mlp["down"]["kernel"],
+        }
 
     def _build_decode(self, prompt_len: int, batch: int, n_samples: int = 1):
         """n_samples: decode n sampled continuations per prompt from ONE
@@ -530,21 +575,95 @@ class QwenModel:
 
         def run_layers(non_layer, stacked, x, positions, mask, caches, cache_index):
             """One lax.scan over the L stacked layers. caches: (ck, cv)
-            [L, B, S, KV, Dh] or None (no-cache forward)."""
+            [L, B, S, KV, Dh] or None (no-cache forward).
 
-            def body(h, xs):
-                lp, cache = xs
+            The caches ride the scan CARRY (indexed per layer with
+            dynamic_index/update_index), NOT the xs/ys stream: scan ys
+            materialize a fresh [L, B, S, KV, Dh] output buffer every
+            decode step, a full-cache copy (measured 3.7 ms/step at the
+            0.5B paraphrase batch); carried buffers get in-place
+            dynamic-update-slice from XLA (same update measured 0.16
+            ms/step)."""
+
+            merged = "wqkv" in stacked
+            nq = c.num_heads * head_dim
+            nkv = c.num_kv_heads * head_dim
+            reps = c.num_heads // c.num_kv_heads
+
+            def merged_layer(h, lp, kl, vl):
+                """QwenBlock math with q|k|v and gate|up as single GEMMs
+                (numerics match the module path — output columns contract
+                identically; verified token-for-token by
+                tests/test_qwen_sd.py greedy parity).
+
+                Cache layout here is KV-MAJOR: kl/vl [B, KV, S, Dh], so
+                each (b, kv) slab is a contiguous [S, Dh] matrix — the
+                layout the fused decode-attention kernel DMAs in one read
+                (tvc/core/pallas/decode_attention_kernel.py)."""
+                B, T = h.shape[0], h.shape[1]
+                x = rmsnorm(h, lp["ln_attn"])
+                qkv = x.astype(c.dtype) @ lp["wqkv"].astype(c.dtype) + lp[
+                    "bqkv"
+                ].astype(c.dtype)
+                q = qkv[..., :nq].reshape(B, T, c.num_heads, head_dim)
+                k = qkv[..., nq : nq + nkv].reshape(B, T, c.num_kv_heads, head_dim)
+                v = qkv[..., nq + nkv :].reshape(B, T, c.num_kv_heads, head_dim)
+                q = rope(q, positions, c.rope_theta)
+                k = rope(k, positions, c.rope_theta)
+                kl = jax.lax.dynamic_update_slice(
+                    kl, k.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
+                )
+                vl = jax.lax.dynamic_update_slice(
+                    vl, v.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
+                )
+                if T == 1:
+                    # decode: fused Pallas GQA over the cache — one HBM
+                    # read of k/v, no logits round-trip (measured 6.8 ->
+                    # ~1 ms/step at the 0.5B paraphrase batch)
+                    qg = q.reshape(B, c.num_kv_heads, reps, head_dim)
+                    out = decode_gqa_attention(qg, kl, vl, mask[:, 0, 0])
+                    out = out.reshape(B, T, c.num_heads * head_dim)
+                else:
+                    qg = q.reshape(B, T, c.num_kv_heads, reps, head_dim)
+                    lg = jnp.einsum(
+                        "btkrd,bksd->bkrts", qg, kl, preferred_element_type=jnp.float32
+                    ) / np.sqrt(head_dim)
+                    lg = lg + mask[:, 0][:, None, None]
+                    w = jax.nn.softmax(lg, axis=-1).astype(c.dtype)
+                    out = jnp.einsum("bkrts,bksd->btkrd", w, vl)
+                    out = out.reshape(B, T, c.num_heads * head_dim)
+                h = h + out @ lp["wo"].astype(c.dtype)
+                x2 = rmsnorm(h, lp["ln_mlp"])
+                gu = x2.astype(c.dtype) @ lp["wgu"].astype(c.dtype)
+                act = jax.nn.silu(gu[..., : c.intermediate_size]) * gu[
+                    ..., c.intermediate_size :
+                ]
+                h = h + act.astype(c.dtype) @ lp["wd"].astype(c.dtype)
+                return h, kl, vl
+
+            def body(carry, xs):
+                h, ck, cv = carry
+                lp, l = xs
                 # int8 dequant INSIDE the body: only one layer's bf16 copy
                 # is ever materialized (whole-tree dequant of int8 Qwen2-7B
                 # would need a 14 GB transient next to the 7.5 GB int8
                 # tree — over the 16 GB HBM)
-                h, new_cache = block.apply(
-                    {"params": dequant(lp)}, h, positions, mask, cache, cache_index
-                )
-                return h, new_cache
+                kl = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+                vl = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+                if merged:
+                    h, nkl, nvl = merged_layer(h, dequant(lp), kl, vl)
+                else:
+                    h, (nkl, nvl) = block.apply(
+                        {"params": dequant(lp)}, h, positions, mask, (kl, vl), cache_index
+                    )
+                ck = jax.lax.dynamic_update_index_in_dim(ck, nkl, l, 0)
+                cv = jax.lax.dynamic_update_index_in_dim(cv, nvl, l, 0)
+                return (h, ck, cv), None
 
-            x, new_caches = jax.lax.scan(body, x, (stacked, caches))
-            return x, new_caches
+            (x, ck, cv), _ = jax.lax.scan(
+                body, (x, caches[0], caches[1]), (stacked, jnp.arange(c.num_layers))
+            )
+            return x, (ck, cv)
 
         def embed_lookup(non_layer, tokens):
             tbl = dequant(non_layer["embed"])["embedding"]
@@ -558,9 +677,17 @@ class QwenModel:
             prompt end."""
             B = prompt_tokens.shape[0]
             positions = jnp.broadcast_to(jnp.arange(prompt_len), (B, prompt_len))
+            # merged (single-device) path uses the KV-major cache layout
+            # the fused decode-attention kernel wants; the module/TP path
+            # keeps the S-major layout QwenAttention updates
+            cache_shape = (
+                (c.num_layers, B, c.num_kv_heads, S, head_dim)
+                if "wqkv" in stacked
+                else (c.num_layers, B, S, c.num_kv_heads, head_dim)
+            )
             caches = (
-                jnp.zeros((c.num_layers, B, S, c.num_kv_heads, head_dim), c.dtype),
-                jnp.zeros((c.num_layers, B, S, c.num_kv_heads, head_dim), c.dtype),
+                jnp.zeros(cache_shape, c.dtype),
+                jnp.zeros(cache_shape, c.dtype),
             )
             ks = jnp.arange(S)
             # [B, 1, plen, S]: causal over the real prompt only
@@ -589,10 +716,29 @@ class QwenModel:
                 next_logits = jnp.repeat(next_logits, n_samples, axis=0)
                 lengths = jnp.repeat(lengths, n_samples, axis=0)
 
+            # top-k=50 truncated sampling (HF generate's default top_k — the
+            # sampler the reference's paraphrase path runs through,
+            # src/text_augment.py:304-308). Also ~1 ms/step cheaper at the
+            # paraphrase batch than full-vocab categorical: Gumbel noise
+            # over [B, 152k] f32 costs a 467 MB write+read per step.
+            top_k = min(50, c.vocab_size)
+
             def sample(lg, k):
+                def sampled():
+                    # approx_max_k: TPU-native bucketed top-k (~0.95 recall
+                    # on the shortlist BOUNDARY — the high-probability head
+                    # is always kept). exact lax.top_k is a sort at this
+                    # vocab: measured 20.3 ms/step vs 0.99 ms/step for
+                    # approx at [768, 152k]
+                    topv, topi = jax.lax.approx_max_k(lg, top_k)
+                    choice = jax.random.categorical(
+                        k, topv / jnp.maximum(temperature, 1e-4)
+                    )
+                    return jnp.take_along_axis(topi, choice[:, None], axis=1)[:, 0]
+
                 return jax.lax.cond(
                     temperature > 1e-4,
-                    lambda: jax.random.categorical(k, lg / jnp.maximum(temperature, 1e-4)),
+                    sampled,
                     lambda: jnp.argmax(lg, axis=-1),
                 )
 
