@@ -156,3 +156,34 @@ def test_clip_model_int8_dispatch():
         model.params, normalize_pixels(px), qparams=model.qparams()
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_w8_matmul_kernel_parity():
+    """W8 matmul kernel vs dequant-then-matmul oracle at decode shapes
+    (0.5B qkv/mlp and 7B down-proj slices)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.core.pallas.w8_matmul_kernel import w8_matmul, w8_matmul_reference
+
+    # (192, 2368, 512) forces the K-tiled accumulator path (37 K-steps at
+    # bk=64 — 2368 = 2^6*37 shares 18944's odd factor, the Qwen2-7B
+    # down-projection shape class that VMEM-OOMed the single-K design)
+    for M, K, N in [(192, 896, 1152), (64, 1184, 256), (8, 128, 128),
+                    (192, 2368, 512)]:
+        key = jax.random.PRNGKey(M)
+        kx, kw = jax.random.split(key)
+        x = jax.random.normal(kx, (M, K), jnp.float32)
+        wf = jax.random.normal(kw, (K, N), jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+        wq = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+        got = np.asarray(w8_matmul(x, wq, s))
+        want = np.asarray(w8_matmul_reference(x, wq, s))
+        # kernel scales the f32 accumulator once (exact int8 in bf16);
+        # oracle rounds w*s per weight — tiny relative differences
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+        # against the exact f32 computation the kernel should be CLOSER
+        exact = np.asarray(x) @ (np.asarray(wq, np.float32) * np.asarray(s))
+        err_kernel = np.abs(got - exact).max()
+        assert err_kernel < 0.15, err_kernel

@@ -25,6 +25,7 @@ from flax import linen as nn
 from jax import Array
 
 from tvc.core.pallas.decode_attention_kernel import decode_gqa_attention
+from tvc.core.pallas.w8_matmul_kernel import w8_matmul
 
 
 @dataclasses.dataclass(frozen=True)
@@ -560,6 +561,26 @@ class QwenModel:
             var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
             return (x32 * jax.lax.rsqrt(var + c.rms_eps) * scale).astype(x.dtype)
 
+        def mm(x3, leaf):
+            """x [B, T, K] @ weight leaf. int8 leaves route through the
+            Pallas W8 kernel (weights stream as 1 byte/param, dequant
+            in-register — tvc/core/pallas/w8_matmul_kernel.py) when the
+            activation block fits VMEM; prefill-sized blocks fall back to
+            XLA dequant (compute-bound there, so the extra traffic is
+            noise)."""
+            B_, T_ = x3.shape[0], x3.shape[1]
+            if isinstance(leaf, dict) and "int8" in leaf:
+                if B_ * T_ <= 1024:
+                    y = w8_matmul(
+                        x3.reshape(B_ * T_, -1).astype(c.dtype),
+                        leaf["int8"],
+                        leaf["scale"],
+                    )
+                    return y.reshape(B_, T_, -1)
+                w = leaf["int8"].astype(c.dtype) * leaf["scale"].astype(c.dtype)
+                return x3.astype(c.dtype) @ w
+            return x3.astype(c.dtype) @ leaf.astype(c.dtype)
+
         def lm_head(x, non_layer):
             """Logits in c.dtype matmul (f32 accumulate on the MXU), f32 out
             — numerically identical to nn.Embed.attend / the module path
@@ -570,8 +591,7 @@ class QwenModel:
                 return (x.astype(c.dtype) @ tbl.astype(c.dtype).T).astype(
                     jnp.float32
                 )
-            kern = dequant(non_layer["lm_head"])["kernel"]
-            return (x.astype(c.dtype) @ kern.astype(c.dtype)).astype(jnp.float32)
+            return mm(x, non_layer["lm_head"]["kernel"]).astype(jnp.float32)
 
         def run_layers(non_layer, stacked, x, positions, mask, caches, cache_index):
             """One lax.scan over the L stacked layers. caches: (ck, cv)
@@ -602,9 +622,7 @@ class QwenModel:
                 (tvc/core/pallas/decode_attention_kernel.py)."""
                 B, T = h.shape[0], h.shape[1]
                 x = rmsnorm(h, lp["ln_attn"])
-                qkv = x.astype(c.dtype) @ lp["wqkv"].astype(c.dtype) + lp[
-                    "bqkv"
-                ].astype(c.dtype)
+                qkv = mm(x, lp["wqkv"]) + lp["bqkv"].astype(c.dtype)
                 q = qkv[..., :nq].reshape(B, T, c.num_heads, head_dim)
                 k = qkv[..., nq : nq + nkv].reshape(B, T, c.num_kv_heads, head_dim)
                 v = qkv[..., nq + nkv :].reshape(B, T, c.num_kv_heads, head_dim)
@@ -632,13 +650,13 @@ class QwenModel:
                     w = jax.nn.softmax(lg, axis=-1).astype(c.dtype)
                     out = jnp.einsum("bkrts,bksd->btkrd", w, vl)
                     out = out.reshape(B, T, c.num_heads * head_dim)
-                h = h + out @ lp["wo"].astype(c.dtype)
+                h = h + mm(out, lp["wo"])
                 x2 = rmsnorm(h, lp["ln_mlp"])
-                gu = x2.astype(c.dtype) @ lp["wgu"].astype(c.dtype)
+                gu = mm(x2, lp["wgu"])
                 act = jax.nn.silu(gu[..., : c.intermediate_size]) * gu[
                     ..., c.intermediate_size :
                 ]
-                h = h + act.astype(c.dtype) @ lp["wd"].astype(c.dtype)
+                h = h + mm(act.astype(c.dtype), lp["wd"])
                 return h, kl, vl
 
             def body(carry, xs):
@@ -651,7 +669,10 @@ class QwenModel:
                 kl = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
                 vl = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
                 if merged:
-                    h, nkl, nvl = merged_layer(h, dequant(lp), kl, vl)
+                    # int8 leaves stay quantized INTO merged_layer — the W8
+                    # kernel reads them as 1 byte/param (no whole-layer
+                    # bf16 materialization)
+                    h, nkl, nvl = merged_layer(h, lp, kl, vl)
                 else:
                     h, (nkl, nvl) = block.apply(
                         {"params": dequant(lp)}, h, positions, mask, (kl, vl), cache_index
@@ -666,8 +687,14 @@ class QwenModel:
             return x, (ck, cv)
 
         def embed_lookup(non_layer, tokens):
-            tbl = dequant(non_layer["embed"])["embedding"]
-            return jnp.take(tbl, tokens, axis=0).astype(c.dtype)
+            """take-then-dequant: gathering int8 rows first keeps the
+            transient at [B, T, H] — dequanting the whole Qwen2-7B table
+            first writes+reads a 1.1 GB bf16 copy EVERY decode step."""
+            e = non_layer["embed"]["embedding"]
+            if isinstance(e, dict) and "int8" in e:
+                rows = jnp.take(e["int8"], tokens, axis=0).astype(c.dtype)
+                return rows * e["scale"].astype(c.dtype)
+            return jnp.take(e, tokens, axis=0).astype(c.dtype)
 
         def decode(non_layer, stacked, prompt_tokens, lengths, key, temperature):
             """lengths [B]: real (un-padded) prompt lengths <= prompt_len.
