@@ -332,7 +332,7 @@ def main():
     from tvc.core.pallas import fused_consistency_scores
     from tvc.core.similarity import l2_normalize
     from tvc.models import CLIPConfig, CLIPModel
-    from tvc.models.clip import CLIPModule, normalize_pixels
+    from tvc.models.clip import CLIPModule, bucket_text_tokens, normalize_pixels
 
     backend = jax.default_backend()
     log(f"backend: {backend} devices: {jax.devices()}")
@@ -403,6 +403,18 @@ def main():
     # (single-dispatch latency then skips the in-trace re-quantization)
     qparams = model.qparams() if cfg.int8_serving else None
 
+    def _consistency_from(img, allf, bank):
+        txt, var = allf[:, 0], allf[:, 1:]
+        # retrieval references: exact top-k over the bank (one MXU matmul);
+        # text-query retrieval (the text fetches what the image SHOULD look
+        # like, reference src/pipeline.py:441-472)
+        b = img.shape[0]
+        sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(sims, K)
+        refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(b, K, -1)
+        out = fused_consistency_scores(img, txt, var, refs)
+        return out["aggregated"], out["is_adversarial"]
+
     def _defended_core(params, pixels, tokens, variant_tokens, bank):
         # fused attention-LAYER paths (one Pallas kernel per block; int8
         # projection GEMMs when cfg.int8_serving)
@@ -417,17 +429,55 @@ def main():
         allf = l2_normalize(
             model.infer_text_features(params, all_tok, qparams=qparams)
         ).reshape(b, v + 1, -1)
-        txt, var = allf[:, 0], allf[:, 1:]
-        # retrieval references: exact top-k over the bank (one MXU matmul);
-        # text-query retrieval (the text fetches what the image SHOULD look
-        # like, reference src/pipeline.py:441-472)
-        sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
-        _, idx = jax.lax.top_k(sims, K)
-        refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(b, K, -1)
-        out = fused_consistency_scores(img, txt, var, refs)
-        return out["aggregated"], out["is_adversarial"]
+        return _consistency_from(img, allf, bank)
 
     defended_step = jax.jit(_defended_core)
+
+    # Two-bucket text encode for the fixed-variant measurements: ~80% of
+    # real caption/variant sequences fit 16 BPE tokens while the batch
+    # bucket is 32, so encoding everything at T_b pays ~2x the text FLOPs
+    # (the step's biggest stage). Exact — the tower is length-polymorphic
+    # (bucket_text_tokens / infer_text_features_bucketed docstrings). The
+    # full-TVC stage keeps the single-bucket program: Qwen paraphrase
+    # lengths vary per batch, and each distinct capacity C would cost a
+    # multi-minute axon recompile.
+    all_tok_np = np.concatenate(
+        [np.asarray(tokens)[:, None, :], np.asarray(variant_tokens)], axis=1
+    ).reshape(B * (V + 1), T_b)
+    bucket = bucket_text_tokens(all_tok_np, short_len=16) if not small else None
+    if bucket is not None:
+        short_tok = jnp.asarray(bucket["short"])
+        long_tok = jnp.asarray(bucket["long"])
+        inv_perm = jnp.asarray(bucket["inv"])
+        log(
+            f"text buckets: {short_tok.shape[0]}@{short_tok.shape[1]} + "
+            f"{long_tok.shape[0]}@{long_tok.shape[1]} (single bucket: "
+            f"{all_tok_np.shape[0]}@{T_b})"
+        )
+
+        def _defended_core_b(params, pixels, short_tok, long_tok, inv_perm, bank):
+            img = l2_normalize(
+                model.infer_image_features(
+                    params, normalize_pixels(pixels), qparams=qparams
+                )
+            )
+            allf = l2_normalize(
+                model.infer_text_features_bucketed(
+                    params, short_tok, long_tok, inv_perm, qparams=qparams
+                )
+            ).reshape(B, V + 1, -1)
+            return _consistency_from(img, allf, bank)
+
+        defended_step_b = jax.jit(_defended_core_b)
+
+        def step_fixed(params, pixels, bank):
+            return defended_step_b(
+                params, pixels, short_tok, long_tok, inv_perm, bank
+            )
+    else:
+
+        def step_fixed(params, pixels, bank):
+            return defended_step(params, pixels, tokens, variant_tokens, bank)
 
     # Timing protocol for the axon tunnel: dispatches are async and
     # block_until_ready does NOT synchronize — only a device->host readback
@@ -441,16 +491,40 @@ def main():
     # left. (Round-1's number had exactly this bug: tokens/variants/bank
     # were loop-invariant, so the text encodes and the bank top-k were
     # hoisted and the 9.7k q/s headline measured the image path alone.)
-    @jax.jit
-    def defended_k(params, pixels, tokens, variant_tokens, bank, k):
-        def body(i, acc):
-            px = pixels + i.astype(jnp.float32) * 1e-9
-            tok = jnp.roll(tokens, i, axis=0)
-            vtok = jnp.roll(variant_tokens, i, axis=0)
-            agg, flags = _defended_core(params, px, tok, vtok, bank)
-            return acc + jnp.sum(agg)
+    if bucket is not None:
 
-        return jax.lax.fori_loop(0, k, body, 0.0)
+        @jax.jit
+        def defended_k(params, pixels, short_tok, long_tok, inv_perm, bank, k):
+            def body(i, acc):
+                px = pixels + i.astype(jnp.float32) * 1e-9
+                # roll WITHIN each bucket: short rows stay short (encode
+                # stays valid) and every stage depends on i
+                st = jnp.roll(short_tok, i, axis=0)
+                lt = jnp.roll(long_tok, i, axis=0)
+                agg, _ = _defended_core_b(params, px, st, lt, inv_perm, bank)
+                return acc + jnp.sum(agg)
+
+            return jax.lax.fori_loop(0, k, body, 0.0)
+
+        def defended_k_call(k):
+            return defended_k(
+                params, pixels, short_tok, long_tok, inv_perm, bank, k
+            )
+    else:
+
+        @jax.jit
+        def defended_k(params, pixels, tokens, variant_tokens, bank, k):
+            def body(i, acc):
+                px = pixels + i.astype(jnp.float32) * 1e-9
+                tok = jnp.roll(tokens, i, axis=0)
+                vtok = jnp.roll(variant_tokens, i, axis=0)
+                agg, flags = _defended_core(params, px, tok, vtok, bank)
+                return acc + jnp.sum(agg)
+
+            return jax.lax.fori_loop(0, k, body, 0.0)
+
+        def defended_k_call(k):
+            return defended_k(params, pixels, tokens, variant_tokens, bank, k)
 
     # measure tunnel RTT to subtract it
     tiny = jax.jit(lambda x: x + 1.0)
@@ -465,17 +539,17 @@ def main():
 
     log("compiling defended step (single + K-chained)...")
     t0 = time.time()
-    agg, flags = defended_step(params, pixels, tokens, variant_tokens, bank)
+    agg, flags = step_fixed(params, pixels, bank)
     _ = float(agg[0])
     log(f"single-step compile+run: {time.time() - t0:.1f}s")
     t0 = time.time()
-    acc = defended_k(params, pixels, tokens, variant_tokens, bank, 2)
+    acc = defended_k_call(2)
     _ = float(acc)
     log(f"K-chained compile+run: {time.time() - t0:.1f}s")
 
     def measure(k):
         t0 = time.time()
-        acc = defended_k(params, pixels, tokens, variant_tokens, bank, k)
+        acc = defended_k_call(k)
         _ = float(acc)
         return time.time() - t0
 
@@ -501,17 +575,19 @@ def main():
     # loop — effectively measuring the image path alone. Measured here so
     # BENCH_r01's 9.7k q/s has an apples-to-apples successor.
     @jax.jit
-    def defended_k_img_only(params, pixels, tokens, variant_tokens, bank, k):
+    def defended_k_img_only(params, pixels, bank, k):
         def body(i, acc):
             px = pixels + i.astype(jnp.float32) * 1e-9
-            agg, _ = _defended_core(params, px, tokens, variant_tokens, bank)
+            # tokens loop-invariant ON PURPOSE: XLA hoists the text
+            # encodes + top-k, reproducing the round-1 protocol bug
+            agg, _ = step_fixed(params, px, bank)
             return acc + jnp.sum(agg)
 
         return jax.lax.fori_loop(0, k, body, 0.0)
 
-    _ = float(defended_k_img_only(params, pixels, tokens, variant_tokens, bank, 2))
+    _ = float(defended_k_img_only(params, pixels, bank, 2))
     t0 = time.time()
-    _ = float(defended_k_img_only(params, pixels, tokens, variant_tokens, bank, n_chain))
+    _ = float(defended_k_img_only(params, pixels, bank, n_chain))
     img_only_elapsed = max(time.time() - t0 - rtt, 1e-9)
     img_only_qps = B * n_chain / img_only_elapsed
     log(
@@ -524,7 +600,7 @@ def main():
     lat = []
     for _ in range(16):
         t0 = time.time()
-        agg, _ = defended_step(params, pixels, tokens, variant_tokens, bank)
+        agg, _ = step_fixed(params, pixels, bank)
         _ = float(agg[0])
         lat.append(max(time.time() - t0 - rtt, 1e-9))
     lat_ms = np.asarray(lat) * 1e3
@@ -560,9 +636,9 @@ def main():
     jax.block_until_ready(adv)
     log(f"PGD done: {time.time() - t0:.1f}s")
 
-    clean_agg, _ = defended_step(params, pixels, tokens, variant_tokens, bank)
+    clean_agg, _ = step_fixed(params, pixels, bank)
     adv_pixels = jnp.concatenate([adv, pixels[n_adv:]], axis=0)
-    adv_agg, _ = defended_step(params, adv_pixels, tokens, variant_tokens, bank)
+    adv_agg, _ = step_fixed(params, adv_pixels, bank)
     labels = np.concatenate([np.zeros(n_adv), np.ones(n_adv)])
     scores = np.concatenate(
         [np.asarray(clean_agg[:n_adv]), np.asarray(adv_agg[:n_adv])]
@@ -595,7 +671,11 @@ def main():
     if not small:
         del bank, pixels, variant_tokens, adv, adv_pixels, clean_agg, adv_agg
         del agg, flags, txt_feats, scores
-        for f in (defended_k, defended_k_img_only, defended_step, run):
+        clearable = [defended_k, defended_k_img_only, defended_step, run]
+        if bucket is not None:
+            del short_tok, long_tok, inv_perm
+            clearable.append(defended_step_b)
+        for f in clearable:
             try:
                 f.clear_cache()
             except Exception:

@@ -132,3 +132,53 @@ def test_clip_config_from_name():
     assert CLIPConfig.from_name("tiny").model_name == "tiny"
     with pytest.raises(ValueError, match="RN50|unsupported"):
         CLIPConfig.from_name("RN50")
+
+
+def test_bucketed_text_features_exact(clip):
+    """Two-bucket text encode == single-bucket encode, row for row.
+
+    The tower is length-polymorphic (positional embeddings sliced to T,
+    causal mask), so padding a sequence to 8 vs 24 must not change its
+    features; bucket_text_tokens + infer_text_features_bucketed exploit
+    exactly that (bench.py config #1 serving path)."""
+    from tvc.models.clip import bucket_text_tokens
+
+    rng = np.random.default_rng(0)
+    S, T = 64, 16  # tiny config's full text context
+    eot = clip.config.vocab_size - 1
+    tokens = np.zeros((S, T), np.int32)
+    for i in range(S):
+        n = int(rng.integers(2, T if i % 3 else 7))  # mix of short/long
+        tokens[i, : n - 1] = rng.integers(1, eot - 1, size=n - 1)
+        tokens[i, n - 1] = eot
+    bucket = bucket_text_tokens(tokens, short_len=8, capacity_quantum=16)
+    assert bucket is not None
+    assert bucket["short"].shape[1] == 8 and bucket["long"].shape[1] == T
+    assert bucket["short"].shape[0] + bucket["long"].shape[0] == S
+    # every short-bucket row keeps its EOT in-window
+    assert (bucket["short"].argmax(-1) + 1 <= 8).all()
+
+    params = clip.params
+    plain = np.asarray(clip.infer_text_features(params, jnp.asarray(tokens)))
+    bucketed = np.asarray(
+        clip.infer_text_features_bucketed(
+            params,
+            jnp.asarray(bucket["short"]),
+            jnp.asarray(bucket["long"]),
+            jnp.asarray(bucket["inv"]),
+        )
+    )
+    np.testing.assert_allclose(bucketed, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_bucket_text_tokens_degenerate():
+    from tvc.models.clip import bucket_text_tokens
+
+    # all rows already at/below short_len -> nothing to split
+    tokens = np.zeros((64, 8), np.int32)
+    tokens[:, 3] = 1000
+    assert bucket_text_tokens(tokens, short_len=8, capacity_quantum=16) is None
+    # no short rows -> None
+    tokens = np.zeros((64, 16), np.int32)
+    tokens[:, 12] = 1000
+    assert bucket_text_tokens(tokens, short_len=8, capacity_quantum=16) is None

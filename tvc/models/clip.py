@@ -708,6 +708,46 @@ def normalize_pixels(pixels: Array) -> Array:
     return (pixels - mean) / std
 
 
+def bucket_text_tokens(
+    tokens: np.ndarray,
+    short_len: int = 16,
+    capacity_quantum: int = 256,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Host-side two-bucket partition of a padded token batch [S, T] for
+    :meth:`CLIPModel.infer_text_features_bucketed`.
+
+    Sorts rows by real length (EOT position + 1 — EOT is the highest
+    token id), puts the C shortest in a ``short_len``-wide bucket and the
+    rest in a full-T bucket, where C is the largest multiple of
+    ``capacity_quantum`` that is <= the number of rows actually fitting
+    ``short_len`` (quantizing C bounds the number of compiled program
+    shapes a serving process accumulates). Returns None when bucketing
+    cannot help: T <= short_len already, or fewer than one quantum of
+    short rows. The stable sort keeps equal-length rows in input order so
+    the partition is deterministic.
+
+    Output dict: ``short`` [C, short_len], ``long`` [S-C, T], ``inv``
+    [S] int32 — ``concat(feats_short, feats_long)[inv]`` restores the
+    input row order.
+    """
+    S, T = tokens.shape
+    if T <= short_len or S < 2 * capacity_quantum:
+        return None
+    lens = tokens.argmax(-1) + 1
+    n_short = int((lens <= short_len).sum())
+    C = (n_short // capacity_quantum) * capacity_quantum
+    if C < capacity_quantum or C >= S:
+        return None
+    order = np.argsort(lens, kind="stable")
+    inv = np.empty(S, dtype=np.int32)
+    inv[order] = np.arange(S, dtype=np.int32)
+    return {
+        "short": np.ascontiguousarray(tokens[order[:C], :short_len]),
+        "long": np.ascontiguousarray(tokens[order[C:], :]),
+        "inv": inv,
+    }
+
+
 # ---------------------------------------------------------------------------
 # user-facing wrapper (the reference's implied CLIPModel API)
 # ---------------------------------------------------------------------------
@@ -806,6 +846,32 @@ class CLIPModel:
         return self._infer_module.apply(
             {"params": params}, tokens, method=CLIPModule.encode_text
         )
+
+    def infer_text_features_bucketed(
+        self,
+        params: Dict,
+        short_tokens: Array,
+        long_tokens: Array,
+        inv_perm: Array,
+        qparams: Optional[Dict] = None,
+    ) -> Array:
+        """Two-bucket text inference: encode the short bucket at its own
+        (smaller) sequence length and the long bucket at full length, then
+        gather rows back to the caller's original order via ``inv_perm``
+        (built by :func:`bucket_text_tokens`).
+
+        Why: real captions are length-skewed — ~80% of COCO
+        caption/variant sequences fit 16 BPE tokens while the batch max is
+        ~27, so a single-bucket encode pads everything to 32 and pays ~2x
+        the text-tower FLOPs (the defended step's biggest stage). The
+        tower is length-polymorphic (positional embeddings sliced to T,
+        causal mask), so a sequence encodes to the SAME features at any
+        padded length that keeps its EOT in-window — bucketing is exact,
+        not an approximation. Replaces: the reference pads all text to the
+        CLIP context (77) unconditionally via its HF processor."""
+        fs = self.infer_text_features(params, short_tokens, qparams=qparams)
+        fl = self.infer_text_features(params, long_tokens, qparams=qparams)
+        return jnp.take(jnp.concatenate([fs, fl], axis=0), inv_perm, axis=0)
 
     def image_features(self, params: Dict, pixels: Array) -> Array:
         """Pure fn: CLIP-normalized pixels [B,H,W,3] -> [B,E]. Differentiable
