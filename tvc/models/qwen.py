@@ -835,7 +835,12 @@ class QwenModel:
             jax.random.PRNGKey(seed),
             jnp.asarray(temperature, jnp.float32),
         )
-        return [self._detokenize(row) for row in np.asarray(out)]
+        rows = np.asarray(out)
+        batch_decode = getattr(self.tokenizer, "decode_batch", None)
+        if batch_decode is not None:
+            eot = getattr(self.tokenizer, "eot_id", -1)
+            return batch_decode([[i for i in row if i != eot] for row in rows.tolist()])
+        return [self._detokenize(row) for row in rows]
 
     def _detokenize(self, ids: np.ndarray) -> str:
         eot = getattr(self.tokenizer, "eot_id", -1)

@@ -258,10 +258,13 @@ class HFTokenizerWrapper:
         out = np.full(
             (len(texts), self.context_length), self.pad_id, dtype=np.int32
         )
-        for i, t in enumerate(texts):
-            ids = self.tok.encode(t, add_special_tokens=False)[
-                : self.context_length
-            ]
+        # one batched call: HF fast tokenizers release the GIL and encode
+        # the batch in parallel in the Rust backend (~4x over a per-string
+        # python loop at serving batches — this sits on the full-TVC
+        # critical path, bench.py config #4)
+        batch = self.tok(list(texts), add_special_tokens=False)["input_ids"]
+        for i, ids in enumerate(batch):
+            ids = ids[: self.context_length]
             out[i, : len(ids)] = ids
         return out
 
@@ -270,6 +273,13 @@ class HFTokenizerWrapper:
             [int(i) for i in ids if int(i) != self.pad_id],
             skip_special_tokens=True,
         )
+
+    def decode_batch(self, ids_batch) -> list:
+        """Batched row decode (same pad/special filtering as ``decode``)."""
+        rows = [
+            [int(i) for i in row if int(i) != self.pad_id] for row in ids_batch
+        ]
+        return self.tok.batch_decode(rows, skip_special_tokens=True)
 
 
 #: real Qwen2 tokenizer vocab size (bundled assets)
