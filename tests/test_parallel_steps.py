@@ -238,3 +238,55 @@ def test_serving_step_mesh_fused_int8_matches_single_device(mesh):
     np.testing.assert_array_equal(
         np.asarray(a["is_adversarial"]), np.asarray(b["is_adversarial"])
     )
+
+
+def test_serving_step_bucketed_matches_plain(model):
+    """Single-chip serve() routes host token batches through the
+    two-bucket text program when the length split pays; results must be
+    IDENTICAL to the plain single-bucket program (the tower is
+    length-polymorphic, so bucketing is exact)."""
+    from tvc.parallel.steps import make_serving_step
+
+    cfg = model.config
+    rng = np.random.default_rng(7)
+    B, V, k, rows = 128, 3, 4, 64  # S = B*(V+1) = 512 = 2 capacity quanta
+    bank = rng.normal(size=(rows, cfg.embed_dim)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    pixels = rng.random((B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    # mixed lengths: most queries short (<= 8 tokens incl EOT), some long
+    texts = [
+        f"q {i}" if i % 4 else f"much longer query sentence number {i} indeed"
+        for i in range(B)
+    ]
+    tokens = np.asarray(model.tokenize(texts))
+    vtok = np.zeros((B, V, tokens.shape[1]), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for i in range(B):
+        n = 1 + i % V
+        vt = np.asarray(model.tokenize([f"v{j} {texts[i]}" for j in range(n)]))
+        vtok[i, :n, : vt.shape[1]] = vt
+        vmask[i, :n] = True
+    valid = np.ones((rows,), bool)
+    weights = np.asarray([0.4, 0.4, 0.2], np.float32)
+    lo, hi = np.float32(0.05), np.float32(0.6)
+
+    serve = make_serving_step(
+        model, mesh=None, top_k=k, use_kernel=False, bucket_short_len=8
+    )
+    # numpy inputs -> host bucketing fires (assert via the cache surface)
+    a = serve(model.params, pixels, tokens, vtok, vmask, bank, valid, weights, lo, hi)
+    assert serve._jitted._cache_size() == 0, "plain program should be unused"
+    # device inputs -> plain single-bucket program
+    b = serve(
+        model.params, jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(vtok),
+        jnp.asarray(vmask), jnp.asarray(bank), jnp.asarray(valid),
+        jnp.asarray(weights), lo, hi,
+    )
+    assert serve._jitted._cache_size() == 1
+    np.testing.assert_array_equal(np.asarray(a["ref_idx"]), np.asarray(b["ref_idx"]))
+    np.testing.assert_allclose(
+        np.asarray(a["aggregated"]), np.asarray(b["aggregated"]), atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["is_adversarial"]), np.asarray(b["is_adversarial"])
+    )

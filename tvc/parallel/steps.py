@@ -32,7 +32,12 @@ from tvc.core.pallas.consistency_kernel import (
     fused_consistency_scores,
 )
 from tvc.core.similarity import l2_normalize
-from tvc.models.clip import CLIPModel, CLIPModule, normalize_pixels
+from tvc.models.clip import (
+    CLIPModel,
+    CLIPModule,
+    bucket_text_tokens,
+    normalize_pixels,
+)
 from tvc.parallel.mesh import DATA_AXIS, bank_shard_axis
 
 
@@ -44,6 +49,7 @@ def make_serving_step(
     use_kernel: Optional[bool] = None,
     num_refs: Optional[int] = None,
     qparams: Optional[Any] = None,
+    bucket_short_len: int = 16,
 ) -> Callable:
     """THE serving hot path as ONE jitted program.
 
@@ -208,8 +214,65 @@ def make_serving_step(
         out["ref_idx"] = ref_idx
         return out
 
+    def step_bucketed(
+        params,
+        qp,
+        pixels,
+        short_tok,
+        long_tok,
+        inv_perm,
+        variant_mask,
+        bank,
+        valid,
+        weights,
+        lower,
+        upper,
+    ):
+        """``step`` with the [B*(V+1)] text batch split into two length
+        buckets (tvc/models/clip.bucket_text_tokens): short sequences
+        encode at their own smaller T instead of the batch max — exact,
+        the tower is length-polymorphic. Single-chip only (the inv_perm
+        gather would force an all-to-all under a mesh)."""
+        img = encode_image(params, qp, pixels)
+        B, V = variant_mask.shape
+        fs = encode_text(params, qp, short_tok)
+        fl = encode_text(params, qp, long_tok)
+        allf = jnp.take(
+            jnp.concatenate([fs, fl], axis=0), inv_perm, axis=0
+        ).reshape(B, V + 1, -1)
+        txt, var = allf[:, 0], allf[:, 1:]
+
+        if with_bank:
+            _, ref_idx = bank_topk_local(txt, bank, valid)
+            refs = jnp.take(
+                bank, ref_idx[:, :num_refs].reshape(-1), axis=0
+            ).reshape(B, num_refs, -1)
+            ref_mask = jnp.ones((B, num_refs), dtype=bool)
+        else:
+            refs = jnp.zeros((B, 1, img.shape[-1]), jnp.float32)
+            ref_mask = jnp.zeros((B, 1), dtype=bool)
+            ref_idx = jnp.full((B, top_k), -1, jnp.int32)
+
+        score_fn = fused_consistency_scores if use_kernel else consistency_scores_reference
+        out = dict(
+            score_fn(
+                img,
+                txt,
+                var,
+                refs,
+                variant_mask=variant_mask,
+                ref_mask=ref_mask,
+                weights=weights,
+                threshold=upper,
+            )
+        )
+        out["is_adversarial"] = out["is_adversarial"] | (out["aggregated"] < lower)
+        out["ref_idx"] = ref_idx
+        return out
+
     if mesh is None:
         jitted = jax.jit(step)
+        jitted_bucketed = jax.jit(step_bucketed)
     else:
         repl = NamedSharding(mesh, P())
         data_nd = lambda ndim: NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
@@ -248,12 +311,47 @@ def make_serving_step(
         )
 
     # qparams rides as a runtime argument partially applied OUTSIDE jit —
-    # callers keep the (params, pixels, ...) signature
+    # callers keep the (params, pixels, ...) signature.
+    # Single-chip serves HOST token batches through the two-bucket text
+    # program when the length split pays (bucket_text_tokens returns a
+    # partition): at real COCO caption/variant mixes ~80% of sequences fit
+    # 16 tokens while the batch max is ~27, so the single-bucket encode
+    # pays ~2x its necessary text FLOPs. Device-array tokens skip the
+    # host partition (no forced readback); mesh serving always uses the
+    # sharded single-bucket program.
     def serve(params, *rest):
+        if (
+            mesh is None
+            and len(rest) == 9
+            and isinstance(rest[1], np.ndarray)
+            and isinstance(rest[2], np.ndarray)
+        ):
+            pixels, tokens, variant_tokens, variant_mask = rest[:4]
+            B, V, T = variant_tokens.shape
+            all_tok = np.concatenate(
+                [tokens[:, None, :], variant_tokens], axis=1
+            ).reshape(B * (V + 1), T)
+            bucket = bucket_text_tokens(all_tok, short_len=bucket_short_len)
+            if bucket is not None:
+                return jitted_bucketed(
+                    params,
+                    qparams,
+                    pixels,
+                    bucket["short"],
+                    bucket["long"],
+                    bucket["inv"],
+                    variant_mask,
+                    *rest[4:],
+                )
         return jitted(params, qparams, *rest)
 
-    # expose the jit cache surface (recompile regression test)
-    serve._cache_size = jitted._cache_size
+    # expose the jit cache surface (recompile regression test); the
+    # bucketed program's compiles count too — per-batch length mixes must
+    # not accumulate shapes beyond the quantized capacities
+    if mesh is None:
+        serve._cache_size = lambda: jitted._cache_size() + jitted_bucketed._cache_size()
+    else:
+        serve._cache_size = jitted._cache_size
     serve._jitted = jitted
     return serve
 
