@@ -25,7 +25,7 @@ from flax import linen as nn
 from jax import Array
 
 from tvc.core.pallas.decode_attention_kernel import decode_gqa_attention
-from tvc.core.pallas.w8_matmul_kernel import w8_matmul
+from tvc.core.pallas.w8_matmul_kernel import w8_matmul, w8a8_matmul
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +44,12 @@ class QwenConfig:
     tie_embeddings: bool = True
     dtype: Any = jnp.bfloat16
     model_name: str = "Qwen/Qwen2-0.5B-Instruct"
+    #: which Pallas GEMM serves int8 weight leaves in the merged decode:
+    #: "w8" streams int8 weights and dequants in-register (weight-only);
+    #: "w8a8" also dynamically quantizes activations per-row and runs the
+    #: MXU's native s8xs8->s32 (~1.5x the bf16 rate on v5e) — the CLIP
+    #: serving scheme (quantized_layer_kernel.py, LLM.int8 lineage)
+    quant_gemm: str = "w8"
 
     @classmethod
     def tiny(cls) -> "QwenConfig":
@@ -562,16 +568,19 @@ class QwenModel:
             return (x32 * jax.lax.rsqrt(var + c.rms_eps) * scale).astype(x.dtype)
 
         def mm(x3, leaf):
-            """x [B, T, K] @ weight leaf. int8 leaves route through the
-            Pallas W8 kernel (weights stream as 1 byte/param, dequant
-            in-register — tvc/core/pallas/w8_matmul_kernel.py) when the
-            activation block fits VMEM; prefill-sized blocks fall back to
-            XLA dequant (compute-bound there, so the extra traffic is
+            """x [B, T, K] @ weight leaf. int8 leaves route through a
+            Pallas quantized GEMM (config.quant_gemm: weight-only "w8"
+            streams weights as 1 byte/param and dequants in-register;
+            "w8a8" also int8-quantizes activations per-row for the MXU's
+            native s8xs8 path — tvc/core/pallas/w8_matmul_kernel.py) when
+            the activation block fits VMEM; prefill-sized blocks fall back
+            to XLA dequant (compute-bound there, so the extra traffic is
             noise)."""
             B_, T_ = x3.shape[0], x3.shape[1]
             if isinstance(leaf, dict) and "int8" in leaf:
                 if B_ * T_ <= 1024:
-                    y = w8_matmul(
+                    kern = w8a8_matmul if c.quant_gemm == "w8a8" else w8_matmul
+                    y = kern(
                         x3.reshape(B_ * T_, -1).astype(c.dtype),
                         leaf["int8"],
                         leaf["scale"],
