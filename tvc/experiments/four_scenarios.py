@@ -488,23 +488,43 @@ def measure_serving_overhead(
     variant_tokens = jnp.tile(tokens[:, None, :], (1, V, 1))
     bank = l2_normalize(jax.random.normal(k2, (bank_size, D)))
 
-    def _defended(params, pixels, tokens, variant_tokens, bank):
+    # two-bucket text encode, exactly as the shipped serving step
+    # (tvc/parallel/steps.make_serving_step) buckets host token batches;
+    # buckets are fixed host-side so the chained fori_loop protocol can
+    # roll WITHIN them (tokens rolled across buckets would mix lengths)
+    from tvc.models.clip import bucket_text_tokens
+
+    all_tok_np = np.concatenate(
+        [np.asarray(tokens)[:, None, :], np.asarray(variant_tokens)], axis=1
+    ).reshape(B * (V + 1), t_b)
+    _bucket = bucket_text_tokens(all_tok_np, short_len=16)
+
+    def _text_feats(params, tokens, variant_tokens, st, lt, inv):
+        if _bucket is not None:
+            return l2_normalize(
+                model.infer_text_features_bucketed(
+                    params, st, lt, inv, qparams=qparams
+                )
+            ).reshape(B, V + 1, -1)
+        b, v, t = variant_tokens.shape
+        all_tok = jnp.concatenate(
+            [tokens[:, None, :], variant_tokens], axis=1
+        ).reshape(b * (v + 1), t)
+        return l2_normalize(
+            model.infer_text_features(params, all_tok, qparams=qparams)
+        ).reshape(b, v + 1, -1)
+
+    def _defended(params, pixels, tokens, variant_tokens, st, lt, inv, bank):
         img = l2_normalize(
             model.infer_image_features(
                 params, normalize_pixels(pixels), qparams=qparams
             )
         )
-        b, v, t = variant_tokens.shape
-        all_tok = jnp.concatenate(
-            [tokens[:, None, :], variant_tokens], axis=1
-        ).reshape(b * (v + 1), t)
-        allf = l2_normalize(
-            model.infer_text_features(params, all_tok, qparams=qparams)
-        ).reshape(b, v + 1, -1)
+        allf = _text_feats(params, tokens, variant_tokens, st, lt, inv)
         txt, var = allf[:, 0], allf[:, 1:]
         sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
         _, idx = jax.lax.top_k(sims, K_)
-        refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(b, K_, -1)
+        refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(B, K_, -1)
         out = fused_consistency_scores(img, txt, var, refs)
         return jnp.sum(out["aggregated"])
 
@@ -522,13 +542,24 @@ def measure_serving_overhead(
         top, _ = jax.lax.top_k(sims, K_)
         return jnp.sum(top) + jnp.sum(img[:, 0])
 
+    if _bucket is not None:
+        st0 = jnp.asarray(_bucket["short"])
+        lt0 = jnp.asarray(_bucket["long"])
+        inv0 = jnp.asarray(_bucket["inv"])
+    else:
+        st0 = lt0 = jnp.zeros((0, t_b), jnp.int32)
+        inv0 = jnp.zeros((0,), jnp.int32)
+
     @jax.jit
-    def defended_k(params, pixels, tokens, variant_tokens, bank, k):
+    def defended_k(params, pixels, tokens, variant_tokens, st, lt, inv, bank, k):
         def body(i, acc):
             px = pixels + i.astype(jnp.float32) * 1e-9
             tok = jnp.roll(tokens, i, axis=0)
             vtok = jnp.roll(variant_tokens, i, axis=0)
-            return acc + _defended(params, px, tok, vtok, bank)
+            return acc + _defended(
+                params, px, tok, vtok,
+                jnp.roll(st, i, axis=0), jnp.roll(lt, i, axis=0), inv, bank,
+            )
 
         return jax.lax.fori_loop(0, k, body, 0.0)
 
@@ -550,7 +581,7 @@ def measure_serving_overhead(
         _ = float(z[0, 0])
     rtt = (time.time() - t0) / 5
 
-    _ = float(defended_k(params, pixels, tokens, variant_tokens, bank, 2))
+    _ = float(defended_k(params, pixels, tokens, variant_tokens, st0, lt0, inv0, bank, 2))
     _ = float(baseline_k(params, pixels, tokens, bank, 2))
 
     def _measure(fn, k):
@@ -558,7 +589,9 @@ def measure_serving_overhead(
         _ = float(fn(k))
         return max(time.time() - t0 - rtt, 1e-9)
 
-    def_fn = lambda k: defended_k(params, pixels, tokens, variant_tokens, bank, k)
+    def_fn = lambda k: defended_k(
+        params, pixels, tokens, variant_tokens, st0, lt0, inv0, bank, k
+    )
     base_fn = lambda k: baseline_k(params, pixels, tokens, bank, k)
     n_chain, elapsed = 4, _measure(def_fn, 4)
     while elapsed < max(30 * rtt, 1.0) and n_chain < 4096:
