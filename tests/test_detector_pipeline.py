@@ -317,3 +317,30 @@ def test_ensemble_majority_margin_and_weights(clip, data):
     res2 = ens2.detect_batch(images, texts)
     assert not res2.is_adversarial.any()
     assert (res2.aggregated_score < 0).all()
+
+
+def test_process_stream_matches_process_batch(clip):
+    """The double-buffered streaming loop returns the same results as
+    per-batch processing, in input order."""
+    import numpy as np
+
+    from tvc.pipeline import MultiModalDetectionPipeline, PipelineConfig
+
+    pipe = MultiModalDetectionPipeline(clip, PipelineConfig())
+    rng = np.random.default_rng(3)
+    sz = clip.config.image_size
+    batches = []
+    for b in range(3):
+        images = rng.random((4, sz, sz, 3)).astype(np.float32)
+        texts = [f"stream batch {b} query {i}" for i in range(4)]
+        batches.append((images, texts))
+    streamed = pipe.process_stream(iter(batches))
+    assert len(streamed) == 3
+    for (images, texts), got in zip(batches, streamed):
+        want = pipe.process_batch(images, texts)
+        np.testing.assert_array_equal(
+            np.asarray(got.is_adversarial), np.asarray(want.is_adversarial)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), atol=1e-5
+        )

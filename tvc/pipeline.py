@@ -158,22 +158,64 @@ class MultiModalDetectionPipeline:
         return gen
 
     # -- processing -----------------------------------------------------------
+    def _generate_variants(self, texts: Sequence[str]) -> List[List[str]]:
+        if "text_augment" not in self.config.steps:
+            return [[] for _ in texts]
+        return self.text_augmenter.batch_generate_variants(
+            texts, self.config.num_text_variants
+        )
+
     def process_batch(self, images, texts: Sequence[str]) -> PipelineResult:
         timings: Dict[str, float] = {}
         errors: List[str] = []
 
         self.profiler.start_step("text_augment")
         t0 = time.time()
-        variants = (
-            self.text_augmenter.batch_generate_variants(
-                texts, self.config.num_text_variants
-            )
-            if "text_augment" in self.config.steps
-            else [[] for _ in texts]
-        )
+        variants = self._generate_variants(texts)
         timings["text_augment"] = time.time() - t0
         self.profiler.end_step("text_augment")
 
+        return self._detect_and_retrieve(images, texts, variants, timings, errors)
+
+    def process_stream(self, batches) -> List[PipelineResult]:
+        """Double-buffered serving loop over an iterable of (images,
+        texts) batches: text-variant generation for batch i+1 (host
+        strategies + the batched LLM paraphrase decode) overlaps the
+        fused detection program for batch i on a producer thread — JAX
+        dispatches are async, so the two serialize only on the device
+        queue. This is the production cold-path pattern bench.py's
+        ``full_pipelined_qps`` measures; the reference overlaps stages
+        with a ThreadPoolExecutor the same way (src/pipeline.py:555-568).
+        Results are returned in input order."""
+        import queue as _queue
+
+        done = object()
+        q: "_queue.Queue" = _queue.Queue(maxsize=1)
+
+        def _producer():
+            try:
+                for images, texts in batches:
+                    q.put((images, list(texts), self._generate_variants(texts)))
+            finally:
+                q.put(done)
+
+        th = threading.Thread(target=_producer, daemon=True)
+        th.start()
+        out: List[PipelineResult] = []
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            images, texts, variants = item
+            out.append(
+                self._detect_and_retrieve(images, texts, variants, {}, [])
+            )
+        th.join()
+        return out
+
+    def _detect_and_retrieve(
+        self, images, texts, variants, timings, errors
+    ) -> PipelineResult:
         self.profiler.start_step("detection")
         t0 = time.time()
         det: DetectionResult = self.detector.detect_batch(
