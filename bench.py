@@ -318,7 +318,28 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
 
 
 def main():
+    import threading
+
     import jax
+
+    # Bounded backend probe: a wedged axon tunnel makes the FIRST device
+    # op hang forever (observed: jax.devices() blocked >9 min while the
+    # relay accepted TCP), which would leave the driver with no JSON line
+    # at all. Probe on a daemon thread and fail fast into the error JSON.
+    _dev_ok = threading.Event()
+
+    def _probe():
+        jax.devices()
+        _dev_ok.set()
+
+    _th = threading.Thread(target=_probe, daemon=True)
+    _th.start()
+    _th.join(timeout=180)
+    if not _dev_ok.is_set():
+        raise RuntimeError(
+            "device backend unreachable: jax.devices() hung >180s "
+            "(axon tunnel down?)"
+        )
 
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # remote compiles of the Qwen decode / SD sampler programs
