@@ -734,6 +734,16 @@ def bucket_text_tokens(
     if T <= short_len or S < 2 * capacity_quantum:
         return None
     lens = tokens.argmax(-1) + 1
+    # safety net: argmax-EOT undercounts rows whose EOT fell out of the
+    # window (malformed input) — such a row must NOT be sliced to
+    # short_len. Right-pad is id 0 for the CLIP tokenizers; for any
+    # tokenizer padding with a nonzero id this makes every row "long"
+    # and the function just declines to bucket (correct, no win).
+    nonzero = tokens != 0
+    content = np.where(
+        nonzero.any(axis=-1), T - nonzero[:, ::-1].argmax(-1), 0
+    )
+    lens = np.maximum(lens, content)
     n_short = int((lens <= short_len).sum())
     C = (n_short // capacity_quantum) * capacity_quantum
     if C < capacity_quantum or C >= S:
