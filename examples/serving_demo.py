@@ -65,20 +65,24 @@ def main():
     lo, hi = pipe.detector.calibrate_two_sided(clean_scores, quantile=0.98)
     print(f"calibrated clean band: [{lo:.3f}, {hi:.3f}]")
 
-    # online: serve prefetched query batches
-    served = flagged = 0
+    # online: serve prefetched query batches through the double-buffered
+    # streaming loop — variant generation for batch i+1 overlaps the
+    # fused detection program for batch i (pipeline.process_stream)
+    def _batches():
+        for i, batch in enumerate(ds.prefetch_batches(batch_size=args.batch_size)):
+            if i >= args.batches:
+                break
+            yield batch["images"], batch["texts"]
+
     t0 = time.time()
-    for i, batch in enumerate(ds.prefetch_batches(batch_size=args.batch_size)):
-        if i >= args.batches:
-            break
-        res = pipe.process_batch(batch["images"], batch["texts"])
-        served += len(batch["texts"])
-        flagged += int(res.is_adversarial.sum())
+    results = pipe.process_stream(_batches())
     elapsed = time.time() - t0
+    served = sum(len(r.scores) for r in results)
+    flagged = sum(int(r.is_adversarial.sum()) for r in results)
     print(
         f"served {served} queries in {elapsed:.2f}s "
-        f"({served / elapsed:.1f} q/s end-to-end incl. host pipeline), "
-        f"{flagged} flagged adversarial"
+        f"({served / elapsed:.1f} q/s end-to-end incl. host pipeline, "
+        f"double-buffered), {flagged} flagged adversarial"
     )
 
 
