@@ -667,6 +667,40 @@ def main():
     auroc = DetectionEvaluator.auroc(labels, scores)
     log(f"detection AUROC (PGD vs clean): {auroc:.4f}")
 
+    # hubness detect-under-attack (BASELINE config #3 names PGD + Hubness;
+    # reference-standard setting: eps=16/255, 500 iters, random query
+    # subsets — src/attacks/hubness_attack.py:48-55)
+    auroc_hub = None
+    if not small:
+        try:
+            from tvc.attacks.hubness import HubnessAttackConfig, _hubness_run
+
+            hub_cfg = HubnessAttackConfig()
+            Q = min(hub_cfg.num_target_queries, n_adv)
+            hk = jax.random.split(k4, n_adv)
+            qidx = jax.vmap(
+                lambda k: jax.random.choice(k, n_adv, shape=(Q,), replace=False)
+            )(hk)
+            queries = txt_feats[qidx]  # [n_adv, Q, D]
+            log("compiling + running hubness (500 iters)...")
+            t0 = time.time()
+            hub_run = jax.jit(
+                lambda p, px, q: _hubness_run(encode, hub_cfg, p, px, q)
+            )
+            hub_adv, _sims = hub_run(params, pixels[:n_adv], queries)
+            jax.block_until_ready(hub_adv)
+            log(f"hubness done: {time.time() - t0:.1f}s")
+            hub_pixels = jnp.concatenate([hub_adv, pixels[n_adv:]], axis=0)
+            hub_agg, _ = step_fixed(params, hub_pixels, bank)
+            hub_scores = np.concatenate(
+                [np.asarray(clean_agg[:n_adv]), np.asarray(hub_agg[:n_adv])]
+            )
+            auroc_hub = DetectionEvaluator.auroc(labels, hub_scores)
+            log(f"detection AUROC (hubness vs clean): {auroc_hub:.4f}")
+            del hub_adv, hub_pixels, hub_agg, queries
+        except Exception as e:
+            log(f"hubness stage failed: {type(e).__name__}: {e}")
+
     # -- config #4: full TVC with variant generation in the loop --------------
     full = {}
     if "--skip-qwen" not in sys.argv and not small:
@@ -731,6 +765,11 @@ def main():
                 "unit": "queries/s",
                 "vs_baseline": round(float(qps) / baseline_qps, 3),
                 "auroc_pgd": round(float(auroc), 4),
+                **(
+                    {"auroc_hubness": round(float(auroc_hub), 4)}
+                    if auroc_hub is not None
+                    else {}
+                ),
                 # round-1's 9.7k q/s was this quantity (loop hoisting left
                 # only the image path in the timing window); kept for an
                 # apples-to-apples round-over-round comparison
