@@ -12,12 +12,16 @@ language (round-2 VERDICT item 4).
 Also measured in the same run (all five BASELINE configs, no flags):
   * per-batch latency P50/P99 (reference README.md:897-898 reports
     19.1/45.7 ms);
+  * detect-under-attack AUROC for PGD (10 steps, eps 8/255) AND hubness
+    (500 iters, eps 16/255) — config #3 names both attacks;
   * config #4 "full TVC": variant generation IN the loop — Qwen batched
     paraphrase decode (shared-prefix prefill, 3 samples/query) + host
     strategies (synonym/template — the reference mixes strategies the
     same way, src/text_augment.py:462-520) + tokenize + the defended
-    step. Reported as full_cold (every batch regenerates variants) and
-    full_steady (variants cached, the reference's md5-cache steady state);
+    step. Reported as full_cold (strictly serial), full_pipelined
+    (double-buffered: host variant assembly overlaps the next batch's
+    decode — nothing cached), and full_steady (variants cached, the
+    reference's md5-cache steady state);
   * config #4 at spec scale: Qwen2-7B (random weights, int8-at-init,
     ~7.6 GB on the 16 GB chip) batched paraphrase decode —
     qwen7b_tok_per_s / qwen7b_ms_per_query (--skip-7b to skip);
