@@ -734,6 +734,8 @@ def main():
         if bucket is not None:
             del short_tok, long_tok, inv_perm
             clearable.append(defended_step_b)
+        if "hub_run" in locals():
+            clearable.append(locals()["hub_run"])
         for f in clearable:
             try:
                 f.clear_cache()
