@@ -932,6 +932,27 @@ class CLIPModel:
             isinstance(texts, (list, tuple)) and texts and isinstance(texts[0], str)
         ):
             tokens = self.tokenize(texts)
+            # sequence bucketing: the tower is length-polymorphic, so
+            # encode at the smallest 8-multiple covering the batch's real
+            # tokens instead of the full 77-token context — ~4.8x fewer
+            # text FLOPs at caption lengths, exact results. Shapes are
+            # quantized to multiples of 8, bounding the jit cache at
+            # context/8 programs. Only applied to tokens WE just built
+            # (tokenizers always keep EOT in-window); caller-supplied
+            # token arrays pass through untouched.
+            real = int(tokens.argmax(-1).max()) + 1
+            nonzero = tokens != 0
+            content = int(
+                np.where(
+                    nonzero.any(axis=-1),
+                    tokens.shape[-1] - nonzero[:, ::-1].argmax(-1),
+                    0,
+                ).max()
+            )
+            t_b = min(
+                -(-max(real, content, 8) // 8) * 8, tokens.shape[-1]
+            )
+            tokens = tokens[:, :t_b]
         else:
             tokens = texts
         feats = self._encode_text(self.params, jnp.asarray(tokens))
