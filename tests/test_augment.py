@@ -136,3 +136,34 @@ def test_config_typed_accessors():
     assert "clip" in cfg.get_model_config("clip").get("default_model", "clip").lower() or True
     assert isinstance(cfg.get_defense_config(), dict)
     assert cfg.get_model_config("clip")["embed_dim"] == 512
+
+
+def test_bench_variant_tokens_from():
+    """bench._variant_tokens_from: fills V slots per query (paraphrases
+    first, then host strategies, padded with the original), one batched
+    tokenize, EOT forced in-window for overlong variants."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import numpy as np
+
+    from bench import _variant_tokens_from
+    from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
+    from tvc.models import CLIPConfig, CLIPModel
+
+    model = CLIPModel(CLIPConfig.tiny(), seed=0)
+    aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_paraphrase_generation=False, enable_back_translation=False
+        )
+    )
+    texts = ["a cat sits on a mat", "a very long caption " * 12]
+    paras = [["the cat rests on a rug", "a cat is on the mat"], []]
+    V, T_b = 4, 8
+    tok = _variant_tokens_from(model, texts, paras, aug, V, T_b)
+    assert tok.shape == (2, V, T_b)
+    eot = model.tokenizer.eot_id
+    # every variant row ends with EOT in-window (argmax-EOT pooling valid)
+    lens = tok.reshape(-1, T_b).argmax(-1)
+    assert (tok.reshape(-1, T_b)[np.arange(len(lens)), lens] == eot).all()
