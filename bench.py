@@ -13,7 +13,10 @@ Also measured in the same run (all five BASELINE configs, no flags):
   * per-batch latency P50/P99 (reference README.md:897-898 reports
     19.1/45.7 ms);
   * detect-under-attack AUROC for PGD (10 steps, eps 8/255) AND hubness
-    (500 iters, eps 16/255) — config #3 names both attacks;
+    (500 iters, eps 16/255) — config #3 names both attacks. PGD is scored
+    on the raw anomaly aggregate; hubness RAISES similarity so it is
+    scored the way the shipped two-sided detector decides: signed
+    distance outside a clean-band calibrated on a held-out clean split;
   * config #4 "full TVC": variant generation IN the loop — Qwen batched
     paraphrase decode (shared-prefix prefill, 3 samples/query) + host
     strategies (synonym/template — the reference mixes strategies the
@@ -696,11 +699,21 @@ def main():
             log(f"hubness done: {time.time() - t0:.1f}s")
             hub_pixels = jnp.concatenate([hub_adv, pixels[n_adv:]], axis=0)
             hub_agg, _ = step_fixed(params, hub_pixels, bank)
+            # Hubness RAISES similarity (src/attacks/hubness_attack.py:482-498),
+            # pushing the anomaly aggregate BELOW the clean band — the raw
+            # one-sided aggregate is anti-correlated with the attack (AUROC→0).
+            # Score it the way the shipped detector does (two-sided clean
+            # band, detector.calibrate_two_sided): anomaly = signed distance
+            # outside [lo, hi] quantiles of a clean HOLDOUT (rows n_adv:,
+            # disjoint from the evaluated clean rows).
+            hold = np.asarray(clean_agg[n_adv:])
+            lo, hi = np.quantile(hold, 0.005), np.quantile(hold, 0.995)
+            band = lambda s: np.maximum(s - hi, lo - s)
             hub_scores = np.concatenate(
-                [np.asarray(clean_agg[:n_adv]), np.asarray(hub_agg[:n_adv])]
+                [band(np.asarray(clean_agg[:n_adv])), band(np.asarray(hub_agg[:n_adv]))]
             )
             auroc_hub = DetectionEvaluator.auroc(labels, hub_scores)
-            log(f"detection AUROC (hubness vs clean): {auroc_hub:.4f}")
+            log(f"detection AUROC (hubness vs clean, two-sided band): {auroc_hub:.4f}")
             del hub_adv, hub_pixels, hub_agg, queries
         except Exception as e:
             log(f"hubness stage failed: {type(e).__name__}: {e}")

@@ -167,3 +167,37 @@ def test_bench_variant_tokens_from():
     # every variant row ends with EOT in-window (argmax-EOT pooling valid)
     lens = tok.reshape(-1, T_b).argmax(-1)
     assert (tok.reshape(-1, T_b)[np.arange(len(lens)), lens] == eot).all()
+
+
+def test_generate_variants_rejects_blank_input():
+    """Reference behavior (src/text_augment.py:502-503): empty/blank input
+    yields no variants — without the guard TemplateAugmenter wraps "" into
+    a 'valid' template variant."""
+    aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_paraphrase_generation=False, enable_back_translation=False
+        )
+    )
+    assert aug.generate_variants("", 3) == []
+    assert aug.generate_variants("   ", 3) == []
+
+
+def test_lazy_strategy_skip_matches_full_pool():
+    """generate_variants stops generating once n candidates survive the
+    filter; the output must equal the full-pool-then-truncate semantics
+    (same seed, same n)."""
+    cfg = TextAugmentConfig(
+        seed=11, enable_paraphrase_generation=False, enable_back_translation=False
+    )
+    texts = [
+        "a big dog runs across the green field",
+        "two people ride horses on the beach",
+        "hi",  # too short for synonym strategy; exercises later strategies
+    ]
+    for t in texts:
+        new = TextAugmenter(cfg).generate_variants(t, 3)
+        old_aug = TextAugmenter(cfg)
+        raw = []
+        for s in old_aug.strategies.values():
+            raw.extend(s.augment(t, 3))
+        assert new == old_aug._filter(t, raw)[:3]
