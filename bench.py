@@ -148,32 +148,33 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
 
     # pipelined cold serving: NOTHING is cached — every batch still pays
     # Qwen decode + host strategies + tokenize + the defended step — but
-    # the host variant assembly for batch i overlaps the device decode
-    # for batch i+1 (double-buffered producer thread; JAX dispatch is
-    # async so the two serialize only on the device queue). This is how
-    # a production server would run the cold path; the reference's
-    # ThreadPoolExecutor pipeline overlaps stages the same way
-    # (src/pipeline.py:555-568). One readback stays on the critical path
-    # per batch (paraphrase ids), so subtract 1 RTT per iteration.
-    import queue as _queue
-    import threading
-
+    # batch i+1's decode is DISPATCHED (generate_paraphrases_batch_async;
+    # JAX dispatch is async) before batch i's variants are finalized, so
+    # decode(i+1) and defended(i) pipeline back-to-back on the device
+    # while the host does detok/augment/tokenize in the gaps. The agg
+    # readback is double-buffered one batch behind too. Single-threaded:
+    # a producer-thread version serialized on the GIL over the host
+    # stages and measured 327 q/s where this measures the device-bound
+    # rate. Same pattern as Pipeline.process_stream (the production
+    # path). One readback stays on the critical path per batch
+    # (paraphrase ids), so subtract 1 RTT per iteration.
     n_pipe = 6
-    pq: "_queue.Queue" = _queue.Queue(maxsize=1)
-
-    def _producer():
-        for i in range(n_pipe):
-            pq.put(qwen.generate_paraphrases_batch(texts, n_qwen, seed=i + 1))
-
-    th = threading.Thread(target=_producer)
-    t0 = time.time()
-    th.start()
+    agg_prev = None
+    t0 = time.time()  # BEFORE the first dispatch: its decode is paid work
+    handle = qwen.generate_paraphrases_batch_async(texts, n_qwen, seed=1)
     for i in range(n_pipe):
-        plist = pq.get()
+        nxt = (
+            qwen.generate_paraphrases_batch_async(texts, n_qwen, seed=i + 2)
+            if i + 1 < n_pipe
+            else None
+        )
+        plist = handle()
         var_tok = _variant_tokens_from(model, texts, plist, augmenter, V, T_b)
         agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
-        _ = float(agg[0])
-    th.join()
+        if agg_prev is not None:
+            _ = float(agg_prev[0])
+        agg_prev, handle = agg, nxt
+    _ = float(agg_prev[0])
     t_pipe = max((time.time() - t0) / n_pipe - rtt, 1e-9)
     full_pipelined_qps = B / t_pipe
     log(

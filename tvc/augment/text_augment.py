@@ -304,22 +304,50 @@ class TextAugmenter:
         ``batch(texts, n)`` (tvc/models/qwen.ParaphraseAdapter), ALL
         queries' LLM paraphrases run as ONE decode batch instead of one
         decode per query."""
+        return self.batch_generate_variants_async(texts, num_variants)()
+
+    def batch_generate_variants_async(
+        self, texts: Sequence[str], num_variants: Optional[int] = None
+    ) -> Callable[[], List[List[str]]]:
+        """Dispatch-now/finalize-later batch path: if the paraphrase
+        generator exposes ``batch_async`` (ParaphraseAdapter over
+        QwenModel.generate_async), the LLM decode is dispatched HERE and
+        everything host-side (readback, detok, host strategies, filter)
+        happens in the returned finalizer — so a serving loop can overlap
+        batch i+1's decode with batch i's detection program without a
+        producer thread (Pipeline.process_stream)."""
         n = num_variants or self.config.max_variants
-        pre: Optional[List[List[str]]] = None
         para = self.strategies.get("paraphrase")
         gen = getattr(para, "generator", None)
-        batch_fn = getattr(gen, "batch", None)
-        if batch_fn is not None:
+        pre_handle: Optional[Callable[[], List[List[str]]]] = None
+        async_fn = getattr(gen, "batch_async", None)
+        if async_fn is not None:
             try:
-                pre = batch_fn(list(texts), n)
+                pre_handle = async_fn(list(texts), n)
             except Exception:
-                pre = None
-        return [
-            self.generate_variants(
-                t, n, _paraphrases=pre[i] if pre is not None else None
-            )
-            for i, t in enumerate(texts)
-        ]
+                pre_handle = None
+        batch_fn = getattr(gen, "batch", None) if pre_handle is None else None
+
+        def finalize() -> List[List[str]]:
+            pre: Optional[List[List[str]]] = None
+            if pre_handle is not None:
+                try:
+                    pre = pre_handle()
+                except Exception:
+                    pre = None
+            elif batch_fn is not None:
+                try:
+                    pre = batch_fn(list(texts), n)
+                except Exception:
+                    pre = None
+            return [
+                self.generate_variants(
+                    t, n, _paraphrases=pre[i] if pre is not None else None
+                )
+                for i, t in enumerate(texts)
+            ]
+
+        return finalize
 
     batch_augment = batch_generate_variants
 

@@ -809,17 +809,21 @@ class QwenModel:
 
         return jax.jit(decode)
 
-    def generate(
+    def generate_async(
         self,
         prompts: List[str],
         temperature: float = 0.8,
         seed: int = 0,
         n_samples: int = 1,
-    ) -> List[str]:
-        """Batched prompt -> continuation decode. ``n_samples > 1`` returns
-        n independent sampled continuations per prompt (output rows
-        ``i*n .. (i+1)*n`` belong to prompt i) from ONE shared prefill —
-        the cheap way to run the paraphrase batch's N-samples-per-query."""
+    ) -> Callable[[], List[str]]:
+        """Dispatch the batched decode WITHOUT blocking; returns a zero-arg
+        callable whose invocation performs the device->host readback and
+        detokenization. JAX dispatch is async, so host work — and device
+        programs dispatched afterwards — overlap the in-flight decode.
+        This is the single-threaded double-buffering primitive for the
+        serving cold path (a producer *thread* fights the consumer for the
+        GIL over detokenize/tokenize/augment; measured 2.4x slower than
+        this on the full-TVC bench loop)."""
         tok = self.tokenizer(prompts)  # [B, ctx] padded
         # truncate to the longest real prompt, bucketed to a multiple of 8 so
         # nearby prompt lengths reuse one compiled decode program
@@ -844,12 +848,31 @@ class QwenModel:
             jax.random.PRNGKey(seed),
             jnp.asarray(temperature, jnp.float32),
         )
-        rows = np.asarray(out)
-        batch_decode = getattr(self.tokenizer, "decode_batch", None)
-        if batch_decode is not None:
-            eot = getattr(self.tokenizer, "eot_id", -1)
-            return batch_decode([[i for i in row if i != eot] for row in rows.tolist()])
-        return [self._detokenize(row) for row in rows]
+
+        def result() -> List[str]:
+            rows = np.asarray(out)  # readback = sync with the device
+            batch_decode = getattr(self.tokenizer, "decode_batch", None)
+            if batch_decode is not None:
+                eot = getattr(self.tokenizer, "eot_id", -1)
+                return batch_decode(
+                    [[i for i in row if i != eot] for row in rows.tolist()]
+                )
+            return [self._detokenize(row) for row in rows]
+
+        return result
+
+    def generate(
+        self,
+        prompts: List[str],
+        temperature: float = 0.8,
+        seed: int = 0,
+        n_samples: int = 1,
+    ) -> List[str]:
+        """Batched prompt -> continuation decode. ``n_samples > 1`` returns
+        n independent sampled continuations per prompt (output rows
+        ``i*n .. (i+1)*n`` belong to prompt i) from ONE shared prefill —
+        the cheap way to run the paraphrase batch's N-samples-per-query."""
+        return self.generate_async(prompts, temperature, seed, n_samples)()
 
     def _detokenize(self, ids: np.ndarray) -> str:
         eot = getattr(self.tokenizer, "eot_id", -1)
@@ -884,19 +907,38 @@ class QwenModel:
         the serving-throughput path (per-text seeding forced one decode
         batch per query in round 1; at 9.7k q/s ambitions variant
         generation was the unmeasured wall)."""
+        return self.generate_paraphrases_batch_async(
+            texts, num_paraphrases, temperature, seed
+        )()
+
+    def generate_paraphrases_batch_async(
+        self,
+        texts: List[str],
+        num_paraphrases: int = 3,
+        temperature: float = 0.8,
+        seed: int = 0,
+    ) -> Callable[[], List[List[str]]]:
+        """Async form of generate_paraphrases_batch: dispatches the decode
+        and returns a zero-arg finalizer (see generate_async) — lets a
+        serving loop start batch i+1's decode before consuming batch i."""
         n = num_paraphrases
         prompts = [PARAPHRASE_PROMPT.format(text=t) for t in texts]
         if not prompts:
-            return [[] for _ in texts]
+            return lambda: [[] for _ in texts]
         # one prefill per UNIQUE prompt; the decode tiles each prompt's KV
         # n-fold for independent sampling chains (n_samples path)
-        outs = self.generate(
+        handle = self.generate_async(
             prompts, temperature=temperature, seed=seed, n_samples=n
         )
-        return [
-            [o.strip() for o in outs[i * n : (i + 1) * n] if o.strip()]
-            for i in range(len(texts))
-        ]
+
+        def result() -> List[List[str]]:
+            outs = handle()
+            return [
+                [o.strip() for o in outs[i * n : (i + 1) * n] if o.strip()]
+                for i in range(len(texts))
+            ]
+
+        return result
 
     def translate(
         self, texts: List[str], src: str, dst: str, temperature: float = 0.0
@@ -939,6 +981,11 @@ class ParaphraseAdapter:
         return self.model.generate_paraphrases(text, n, self.temperature)
 
     def batch(self, texts: List[str], n: int) -> List[List[str]]:
-        return self.model.generate_paraphrases_batch(
+        return self.batch_async(texts, n)()
+
+    def batch_async(self, texts: List[str], n: int) -> Callable[[], List[List[str]]]:
+        """Dispatch-now/finalize-later form (QwenModel.generate_async) for
+        TextAugmenter.batch_generate_variants_async's overlap path."""
+        return self.model.generate_paraphrases_batch_async(
             texts, n, self.temperature, seed=_stable_seed("\x00".join(texts))
         )

@@ -177,40 +177,44 @@ class MultiModalDetectionPipeline:
 
         return self._detect_and_retrieve(images, texts, variants, timings, errors)
 
+    def _generate_variants_async(self, texts: Sequence[str]):
+        """Dispatch-now/finalize-later form of _generate_variants (see
+        TextAugmenter.batch_generate_variants_async)."""
+        if "text_augment" not in self.config.steps:
+            return lambda: [[] for _ in texts]
+        return self.text_augmenter.batch_generate_variants_async(
+            texts, self.config.num_text_variants
+        )
+
     def process_stream(self, batches) -> List[PipelineResult]:
         """Double-buffered serving loop over an iterable of (images,
-        texts) batches: text-variant generation for batch i+1 (host
-        strategies + the batched LLM paraphrase decode) overlaps the
-        fused detection program for batch i on a producer thread — JAX
-        dispatches are async, so the two serialize only on the device
-        queue. This is the production cold-path pattern bench.py's
-        ``full_pipelined_qps`` measures; the reference overlaps stages
-        with a ThreadPoolExecutor the same way (src/pipeline.py:555-568).
-        Results are returned in input order."""
-        import queue as _queue
-
-        done = object()
-        q: "_queue.Queue" = _queue.Queue(maxsize=1)
-
-        def _producer():
-            try:
-                for images, texts in batches:
-                    q.put((images, list(texts), self._generate_variants(texts)))
-            finally:
-                q.put(done)
-
-        th = threading.Thread(target=_producer, daemon=True)
-        th.start()
+        texts) batches: batch i+1's LLM paraphrase decode is DISPATCHED
+        (QwenModel.generate_async — JAX dispatch is async) before batch
+        i's variants are finalized and its detection program runs, so the
+        two batches' device programs pipeline back-to-back on the device
+        queue while the host does detok/augment/tokenize in the gaps.
+        Single-threaded on the host: an earlier producer-thread version
+        (mirroring the reference's ThreadPoolExecutor overlap,
+        src/pipeline.py:555-568) serialized on the GIL over the host
+        stages and measured 2.4x slower on the full-TVC bench loop.
+        This is the production cold-path pattern bench.py's
+        ``full_pipelined_qps`` measures. Results return in input order."""
         out: List[PipelineResult] = []
-        while True:
-            item = q.get()
-            if item is done:
-                break
-            images, texts, variants = item
-            out.append(
-                self._detect_and_retrieve(images, texts, variants, {}, [])
-            )
-        th.join()
+        it = iter(batches)
+        try:
+            images, texts = next(it)
+        except StopIteration:
+            return out
+        texts = list(texts)
+        pending = (images, texts, self._generate_variants_async(texts))
+        for nxt_images, nxt_texts in it:
+            nxt_texts = list(nxt_texts)
+            nxt_handle = self._generate_variants_async(nxt_texts)  # dispatch i+1
+            images, texts, handle = pending
+            out.append(self._detect_and_retrieve(images, texts, handle(), {}, []))
+            pending = (nxt_images, nxt_texts, nxt_handle)
+        images, texts, handle = pending
+        out.append(self._detect_and_retrieve(images, texts, handle(), {}, []))
         return out
 
     def _detect_and_retrieve(
