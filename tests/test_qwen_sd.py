@@ -304,3 +304,80 @@ def test_qwen_init_int8_and_shared_prefill():
     outs = m_init.generate(prompts, temperature=1.0, n_samples=4, seed=1)
     assert len(outs) == 8
     assert len(set(outs)) > 1, "sampling chains collapsed to one sequence"
+
+
+def test_generate_async_matches_sync(qwen):
+    """generate_async is the dispatch/finalize split of generate: identical
+    output for the same seed, and the dispatch returns before the result
+    (the single-threaded double-buffering primitive for serving)."""
+    texts = ["a dog runs in the park", "a red car on the street"]
+    handle = qwen.generate_paraphrases_batch_async(texts, 2, seed=3)
+    assert callable(handle)
+    sync = qwen.generate_paraphrases_batch(texts, 2, seed=3)
+    assert handle() == sync
+    # empty input short-circuits without a decode
+    assert qwen.generate_paraphrases_batch_async([], 2)() == []
+
+
+def test_batch_generate_variants_async_matches_sync(qwen):
+    """TextAugmenter.batch_generate_variants_async finalizer returns the
+    same variants as the sync batch path (same adapter, same texts)."""
+    from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
+
+    aug_async = TextAugmenter(
+        TextAugmentConfig(enable_back_translation=False),
+        paraphrase_generator=qwen.as_paraphrase_generator(),
+    )
+    aug_sync = TextAugmenter(
+        TextAugmentConfig(enable_back_translation=False),
+        paraphrase_generator=qwen.as_paraphrase_generator(),
+    )
+    texts = ["a dog runs in the park", "a red car on the street"]
+    handle = aug_async.batch_generate_variants_async(texts, 3)
+    assert aug_sync.batch_generate_variants(texts, 3) == handle()
+
+
+def test_token_mask_constrains_decode(qwen):
+    """generate(..., token_mask=...) never emits a disallowed id: decoded
+    continuations only contain tokens from the allowed vocabulary rows
+    (plus EOT so chains can terminate)."""
+    import numpy as np
+
+    vocab = qwen.config.vocab_size
+    eot = qwen.tokenizer.eot_id
+    rng = np.random.default_rng(0)
+    mask = np.zeros((vocab,), bool)
+    mask[rng.choice(vocab, size=vocab // 4, replace=False)] = True
+    mask[eot] = True
+    prompts = ["a dog runs", "a red car"]
+    h = qwen.generate_async(prompts, temperature=0.8, seed=2, token_mask=mask)
+    h()  # detok output is tokenizer-dependent; inspect raw ids instead
+    non_layer, stacked = qwen._decode_state()
+    import jax, jax.numpy as jnp
+
+    tok = qwen.tokenizer(prompts)
+    lengths = (tok != qwen.tokenizer.pad_id).sum(axis=1)
+    plen = qwen._decode_fn[0][0]
+    out = qwen._decode_fn[1](
+        non_layer, stacked, jnp.asarray(tok[:, :plen]),
+        jnp.asarray(np.minimum(lengths, plen), np.int32),
+        jax.random.PRNGKey(2), jnp.asarray(0.8, jnp.float32),
+        jnp.asarray(mask),
+    )
+    ids = np.asarray(out)
+    assert mask[ids.reshape(-1)].all(), ids
+
+    # all-True mask reproduces the unconstrained output bit-for-bit
+    free = qwen.generate(prompts, temperature=0.8, seed=3)
+    ones = qwen.generate(
+        prompts, temperature=0.8, seed=3, token_mask=np.ones((vocab,), bool)
+    )
+    assert free == ones
+
+
+def test_ascii_token_mask_shape(qwen):
+    """ascii_token_mask: bool [vocab], EOT allowed, cached per instance."""
+    m = qwen.ascii_token_mask()
+    assert m.shape == (qwen.config.vocab_size,) and m.dtype == bool
+    assert m[qwen.tokenizer.eot_id]
+    assert m is qwen.ascii_token_mask()  # cached

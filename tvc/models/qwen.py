@@ -705,7 +705,9 @@ class QwenModel:
                 return rows * e["scale"].astype(c.dtype)
             return jnp.take(e, tokens, axis=0).astype(c.dtype)
 
-        def decode(non_layer, stacked, prompt_tokens, lengths, key, temperature):
+        def decode(
+            non_layer, stacked, prompt_tokens, lengths, key, temperature, token_mask
+        ):
             """lengths [B]: real (un-padded) prompt lengths <= prompt_len.
             Cache slots [0, plen) hold the padded prompt; generated tokens
             occupy [plen, S). Pad slots are masked out of attention; RoPE
@@ -760,6 +762,11 @@ class QwenModel:
             top_k = min(50, c.vocab_size)
 
             def sample(lg, k):
+                # constrained decoding: disallowed vocab rows never sampled
+                # (token_mask all-True = unconstrained; same program either
+                # way, the mask is a traced argument)
+                lg = jnp.where(token_mask, lg, -jnp.inf)
+
                 def sampled():
                     # approx_max_k: TPU-native bucketed top-k (~0.95 recall
                     # on the shortlist BOUNDARY — the high-probability head
@@ -815,6 +822,7 @@ class QwenModel:
         temperature: float = 0.8,
         seed: int = 0,
         n_samples: int = 1,
+        token_mask: Optional[np.ndarray] = None,
     ) -> Callable[[], List[str]]:
         """Dispatch the batched decode WITHOUT blocking; returns a zero-arg
         callable whose invocation performs the device->host readback and
@@ -840,6 +848,11 @@ class QwenModel:
                 self._build_decode(plen, tok.shape[0], n_samples),
             )
         non_layer, stacked = self._decode_state()
+        mask = (
+            jnp.ones((self.config.vocab_size,), bool)
+            if token_mask is None
+            else jnp.asarray(token_mask, bool)
+        )
         out = self._decode_fn[1](
             non_layer,
             stacked,
@@ -847,6 +860,7 @@ class QwenModel:
             jnp.asarray(np.minimum(lengths, plen), jnp.int32),
             jax.random.PRNGKey(seed),
             jnp.asarray(temperature, jnp.float32),
+            mask,
         )
 
         def result() -> List[str]:
@@ -867,12 +881,49 @@ class QwenModel:
         temperature: float = 0.8,
         seed: int = 0,
         n_samples: int = 1,
+        token_mask: Optional[np.ndarray] = None,
     ) -> List[str]:
         """Batched prompt -> continuation decode. ``n_samples > 1`` returns
         n independent sampled continuations per prompt (output rows
         ``i*n .. (i+1)*n`` belong to prompt i) from ONE shared prefill —
-        the cheap way to run the paraphrase batch's N-samples-per-query."""
-        return self.generate_async(prompts, temperature, seed, n_samples)()
+        the cheap way to run the paraphrase batch's N-samples-per-query.
+        ``token_mask`` (bool [vocab]) constrains sampling to the allowed
+        vocabulary rows (see ascii_token_mask)."""
+        return self.generate_async(prompts, temperature, seed, n_samples, token_mask)()
+
+    def ascii_token_mask(self) -> np.ndarray:
+        """Boolean [vocab] mask of token ids whose decoded text is
+        printable ASCII (plus EOT) — for vocabulary-constrained decoding
+        (``generate(..., token_mask=...)``). Serving uses: constrain
+        paraphrase output to the character class downstream tokenizers
+        have fast paths for; with random bench weights it also keeps the
+        decoded text representative of real-weight (English) output
+        instead of uniform unicode garbage, which would otherwise send
+        the CLIP BPE down its slow non-ASCII fallback ~6x the real cost.
+        Computed once per model instance (one batched single-token decode
+        over the vocab) and cached."""
+        cached = getattr(self, "_ascii_mask", None)
+        if cached is not None:
+            return cached
+        vocab = self.config.vocab_size
+        mask = np.ones((vocab,), bool)
+        inner = getattr(self.tokenizer, "tok", None)  # HF-backed tokenizer
+        if inner is not None:
+            n = min(vocab, len(inner))
+            texts = inner.batch_decode(
+                [[i] for i in range(n)], skip_special_tokens=False
+            )
+            mask = np.zeros((vocab,), bool)
+            mask[:n] = np.fromiter(
+                ((t.isascii() and t.isprintable()) or t == "" for t in texts),
+                bool,
+                count=n,
+            )
+        eot = getattr(self.tokenizer, "eot_id", None)
+        if eot is not None:
+            mask[int(eot)] = True  # chains must be able to terminate
+        self._ascii_mask = mask
+        return mask
 
     def _detokenize(self, ids: np.ndarray) -> str:
         eot = getattr(self.tokenizer, "eot_id", -1)
@@ -902,13 +953,14 @@ class QwenModel:
         num_paraphrases: int = 3,
         temperature: float = 0.8,
         seed: int = 0,
+        token_mask: Optional[np.ndarray] = None,
     ) -> List[List[str]]:
         """ALL queries' paraphrases in ONE decode batch of B*N sequences —
         the serving-throughput path (per-text seeding forced one decode
         batch per query in round 1; at 9.7k q/s ambitions variant
         generation was the unmeasured wall)."""
         return self.generate_paraphrases_batch_async(
-            texts, num_paraphrases, temperature, seed
+            texts, num_paraphrases, temperature, seed, token_mask
         )()
 
     def generate_paraphrases_batch_async(
@@ -917,6 +969,7 @@ class QwenModel:
         num_paraphrases: int = 3,
         temperature: float = 0.8,
         seed: int = 0,
+        token_mask: Optional[np.ndarray] = None,
     ) -> Callable[[], List[List[str]]]:
         """Async form of generate_paraphrases_batch: dispatches the decode
         and returns a zero-arg finalizer (see generate_async) — lets a
@@ -928,7 +981,11 @@ class QwenModel:
         # one prefill per UNIQUE prompt; the decode tiles each prompt's KV
         # n-fold for independent sampling chains (n_samples path)
         handle = self.generate_async(
-            prompts, temperature=temperature, seed=seed, n_samples=n
+            prompts,
+            temperature=temperature,
+            seed=seed,
+            n_samples=n,
+            token_mask=token_mask,
         )
 
         def result() -> List[List[str]]:
