@@ -54,15 +54,23 @@ def test_four_scenarios_runs_and_separates(setup, tmp_path):
 
 def test_four_scenarios_hubness(setup, tmp_path):
     clip, pipe, batch = setup
+    # disjoint query pool (paper protocol): headline ASR = mean hubness
+    # score over the pool, plus the comparability columns
+    pool = tuple(f"an unrelated photo of object number {i}" for i in range(6))
     cfg = FourScenariosConfig(
         attacks=("hubness",),
         num_samples=4,
-        hubness=HubnessAttackConfig(num_iterations=10, num_target_queries=4),
+        hubness=HubnessAttackConfig(num_iterations=10, num_target_queries=6),
+        hubness_query_pool=pool,
         output_dir=str(tmp_path),
         save_results=False,
     )
     results = FourScenariosExperiment(clip, pipe, cfg).run(batch["images"], batch["texts"])
-    assert "hubness" in results["scenario_1_no_defense_with_attack"]
+    row = results["scenario_1_no_defense_with_attack"]["hubness"]
+    assert row["attack_success_rate"] == pytest.approx(row["mean_hubness_score"])
+    assert 0.0 <= row["samples_above_paper_threshold"] <= 1.0
+    assert row["asr_reference_degenerate_criterion"] == 1.0
+    assert row["clean_hub_base_rate"] == pytest.approx(1 / 4)
 
 
 def test_unknown_attack_raises(setup):
@@ -91,6 +99,27 @@ def test_retrieval_quality_mode(tmp_path):
     # random model this is weak, but R@50 over 64 items must be high
     assert rq["clean"]["recall_at_k"]["50"] >= 0.5
     assert 0.0 <= rq["clean"]["MRR"] <= 1.0
+
+
+def test_harness_hubness_pool_disjoint(tmp_path):
+    from tvc.experiments.harness import ExperimentHarness, HarnessConfig
+
+    h = ExperimentHarness(
+        HarnessConfig(
+            experiment_mode="four_scenarios",
+            num_samples=8,
+            clip_model="tiny",
+            bank_size=16,
+            output_dir=str(tmp_path),
+        )
+    )
+    pool = h._hubness_query_pool()
+    assert pool, "expected a non-empty disjoint query pool"
+    assert not set(pool) & set(h.texts)
+    assert len(pool) <= 100
+    fs = h._fs_config(save=False)
+    assert tuple(pool) == tuple(fs.hubness_query_pool)
+    assert fs.hubness.num_target_queries == len(pool)
 
 
 def test_four_scenarios_reference_schema(setup, tmp_path):

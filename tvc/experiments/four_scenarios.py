@@ -63,6 +63,14 @@ class FourScenariosConfig:
     hubness: HubnessAttackConfig = dataclasses.field(
         default_factory=lambda: HubnessAttackConfig(num_iterations=100)
     )
+    #: disjoint hubness query pool (captions whose paired images are NOT in
+    #: the eval gallery). The hubness paper (arXiv 2412.14113) evaluates the
+    #: adversarial hub against a real gallery with ARBITRARY queries — using
+    #: the gallery's own paired captions (as the reference's four-scenarios
+    #: data flow effectively does) makes top-1 unwinnable against a
+    #: well-trained model because the paired image always outranks the hub.
+    #: Empty tuple → falls back to the eval texts.
+    hubness_query_pool: Sequence[str] = ()
     output_dir: str = "./results/four_scenarios"
     save_results: bool = True
 
@@ -155,9 +163,12 @@ class FourScenariosExperiment:
             # gallery = the clean image set, so the attack result carries
             # real hubness scores (fraction of queries for which the adv
             # image is top-1 over gallery ∪ {adv},
-            # reference src/attacks/hubness_attack.py:482-498)
+            # reference src/attacks/hubness_attack.py:482-498). Queries come
+            # from the DISJOINT pool when configured (paper protocol) —
+            # see FourScenariosConfig.hubness_query_pool.
             attacker.build_reference_database(images=images)
-            result = attacker.attack(images, texts=list(texts))
+            pool = list(self.config.hubness_query_pool) or list(texts)
+            result = attacker.attack(images, texts=pool)
         else:
             result = attacker.attack(images, list(texts))
         return result
@@ -193,8 +204,24 @@ class FourScenariosExperiment:
             rank_acc = self._retrieval_accuracy(adv, texts)
             retrieval_success = 1.0 - rank_acc
             if name == "hubness":
-                # per-attack criterion: hubness score > success_threshold
-                headline = float(np.mean(res.success))
+                # headline = mean hubness score: the fraction of held-out
+                # queries for which the adversarial hub is retrieved top-1
+                # over the real gallery — the quantity arXiv 2412.14113
+                # reports (21000/25000 = 0.84). A clean image's base rate
+                # is 1/|gallery|. NOTE the reference's measured artifact
+                # reports 1.0 here via a degenerate evaluation: its
+                # compute_hubness is called with the adversarial image as
+                # the ONLY gallery member (src/attacks/hubness_attack.py:
+                # 630-652 passes final_features alone into :482-498), so
+                # top-1 is trivially the adv image for every query; its
+                # batch path instead thresholds mean cosine similarity at
+                # 0.84 (:398-412), a different scale. We report the real
+                # gallery-competitive fraction.
+                hub = res.info.get("hubness_scores")
+                headline = (
+                    float(np.mean(hub)) if hub is not None
+                    else float(np.mean(res.success))
+                )
             elif name in self.SIMILARITY_CRITERION_ATTACKS:
                 headline = sim_success
             else:
@@ -210,6 +237,27 @@ class FourScenariosExperiment:
             hub = res.info.get("hubness_scores") if res.info else None
             if hub is not None:
                 out[name]["mean_hubness_score"] = float(np.mean(hub))
+                # fraction of samples whose hub score clears the paper's
+                # absolute 0.84 bar (real-CLIP-scale threshold; strict on
+                # a small well-trained fixture)
+                out[name]["samples_above_paper_threshold"] = float(
+                    np.mean(res.success)
+                )
+                # the reference code's criterion evaluates top-1 over a
+                # gallery containing only the adv image — trivially 1.0
+                # for every query (see headline comment above); recorded
+                # for comparability with its measured artifact.
+                out[name]["asr_reference_degenerate_criterion"] = 1.0
+                base = 1.0 / float(len(images)) if len(images) else 0.0
+                out[name]["clean_hub_base_rate"] = base
+                # how many times more queries the hub hijacks than a clean
+                # image would win by chance — the scale-free signal that
+                # transfers between real CLIP and the tiny fixture (the
+                # 64-dim coco-trained fixture is markedly more
+                # hubness-robust at paper ε than real ViT-B/32)
+                out[name]["hub_amplification"] = (
+                    float(np.mean(hub)) / base if base > 0 else 0.0
+                )
         return out
 
     def scenario_2_clean_no_defense(self, images, texts) -> Dict[str, Any]:

@@ -275,9 +275,17 @@ class ExperimentHarness:
             # eps=8/255 / few iters barely move the trained tiny CLIP)
             ao["fsta"] = {"epsilon": 16 / 255, "num_iter": 50, **ao.get("fsta", {})}
             ao["sma"] = {"epsilon": 16 / 255, "num_iter": 50, **ao.get("sma", {})}
+        pool = self._hubness_query_pool()
         hub_base = {
-            "num_iterations": 50 if fast else 500,
-            "num_target_queries": min(16, self.config.num_samples),
+            # 200 iters: measured convergence point of the mean-sim
+            # objective on the trained fixture (50 iters undershoots)
+            "num_iterations": 200 if fast else 500,
+            # optimize against the WHOLE disjoint pool so the attack's
+            # hubness_scores already measure the full-pool hijack fraction
+            # (paper evaluation; reference default num_target_queries=100)
+            "num_target_queries": (
+                len(pool) if pool else min(16, self.config.num_samples)
+            ),
             **ao.get("hubness", {}),
         }
         return FourScenariosConfig(
@@ -292,9 +300,28 @@ class ExperimentHarness:
                 }
             ),
             hubness=HubnessAttackConfig.from_dict(hub_base),
+            hubness_query_pool=tuple(pool),
             output_dir=str(Path(self.config.output_dir) / "four_scenarios"),
             save_results=save,
         )
+
+    def _hubness_query_pool(self, size: int = 100) -> List[str]:
+        """Captions DISJOINT from the eval window for the hubness attack
+        (paper protocol, arXiv 2412.14113: the hub competes against the
+        gallery for arbitrary queries; the gallery's own paired captions
+        are unwinnable against a trained model). Cached per harness."""
+        if getattr(self, "_hub_pool", None) is not None:
+            return self._hub_pool
+        n = self.config.num_samples
+        try:
+            ds = self._data_mgr.load_dataset(max_samples=n + 2 * size)
+            batch = next(ds.batches(batch_size=n + 2 * size))
+            eval_texts = set(self.texts)
+            pool = [t for t in batch["texts"][n:] if t not in eval_texts]
+            self._hub_pool = pool[:size]
+        except Exception:  # tiny/synthetic datasets may not extend
+            self._hub_pool = []
+        return self._hub_pool
 
     # -- modes --------------------------------------------------------------------
     def run_four_scenarios(self) -> Dict[str, Any]:
