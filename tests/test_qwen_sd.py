@@ -357,12 +357,16 @@ def test_token_mask_constrains_decode(qwen):
 
     tok = qwen.tokenizer(prompts)
     lengths = (tok != qwen.tokenizer.pad_id).sum(axis=1)
-    plen = qwen._decode_fn[0][0]
+    plen, _, _, n_allowed = qwen._decode_fn[0]
+    allowed = np.nonzero(mask)[0].astype(np.int32)
+    n_real = len(allowed)
+    assert n_allowed == -(-n_real // 128) * 128
+    allowed = np.pad(allowed, (0, n_allowed - n_real), constant_values=int(allowed[0]))
     out = qwen._decode_fn[1](
         non_layer, stacked, jnp.asarray(tok[:, :plen]),
         jnp.asarray(np.minimum(lengths, plen), np.int32),
         jax.random.PRNGKey(2), jnp.asarray(0.8, jnp.float32),
-        jnp.asarray(mask),
+        jnp.asarray(allowed), jnp.asarray(n_real, jnp.int32),
     )
     ids = np.asarray(out)
     assert mask[ids.reshape(-1)].all(), ids
