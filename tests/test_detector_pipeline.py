@@ -319,6 +319,43 @@ def test_ensemble_majority_margin_and_weights(clip, data):
     assert (res2.aggregated_score < 0).all()
 
 
+def test_process_stream_dispatch_order(clip):
+    """The streaming loop must DISPATCH batch i+1's variant generation
+    before FINALIZING batch i's handle — that ordering is what lets the
+    device run decode(i+1) during batch i's host gap (the whole point of
+    the double buffer; bench.py's pipelined stage mirrors it)."""
+    import numpy as np
+
+    from tvc.pipeline import MultiModalDetectionPipeline, PipelineConfig
+
+    pipe = MultiModalDetectionPipeline(clip, PipelineConfig())
+    events = []
+    counter = [0]
+
+    def fake_async(texts):
+        i = counter[0]
+        counter[0] += 1
+        events.append(("dispatch", i))
+
+        def handle():
+            events.append(("finalize", i))
+            return [[] for _ in texts]
+
+        return handle
+
+    pipe._generate_variants_async = fake_async
+    rng = np.random.default_rng(0)
+    sz = clip.config.image_size
+    batches = [
+        (rng.random((2, sz, sz, 3)).astype(np.float32), [f"b{b}q{i}" for i in range(2)])
+        for b in range(3)
+    ]
+    out = pipe.process_stream(iter(batches))
+    assert len(out) == 3
+    for i in range(2):
+        assert events.index(("dispatch", i + 1)) < events.index(("finalize", i))
+
+
 def test_process_stream_matches_process_batch(clip):
     """The double-buffered streaming loop returns the same results as
     per-batch processing, in input order."""
