@@ -1,0 +1,114 @@
+"""Serving runtime: micro-batching, HTTP surface, lifecycle, stats."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tvc.serving import ServingConfig, ServingRuntime
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    rt = ServingRuntime(
+        ServingConfig(
+            clip_model="tiny",
+            bank_size=64,
+            batch_max_size=8,
+            batch_max_wait_ms=50.0,
+        )
+    )
+    rt.warmup()
+    rt.start(http=True)
+    yield rt
+    rt.stop()
+
+
+def _imgs(n, size, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n, size, size, 3)).astype(np.float32)
+
+
+def test_submit_matches_direct_detect(runtime):
+    """Padding to the batch bucket must not change per-row results."""
+    size = runtime.detector.model.config.image_size
+    images = _imgs(3, size)
+    texts = [f"query {i}" for i in range(3)]
+    got = runtime.submit(images, texts)
+    want = runtime.detector.detect_batch(images, texts)
+    np.testing.assert_allclose(got["scores"], np.asarray(want.aggregated_score), atol=1e-5)
+    assert got["is_adversarial"] == np.asarray(want.is_adversarial).tolist()
+
+
+def test_concurrent_submits_coalesce(runtime):
+    """Two requests inside the batching window run as ONE detector batch."""
+    size = runtime.detector.model.config.image_size
+    before = runtime.stats()["batches"]
+    results = {}
+
+    def post(name, seed):
+        results[name] = runtime.submit(_imgs(2, size, seed), [f"{name}{i}" for i in range(2)])
+
+    t1 = threading.Thread(target=post, args=("a", 1))
+    t2 = threading.Thread(target=post, args=("b", 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert len(results["a"]["scores"]) == 2
+    assert len(results["b"]["scores"]) == 2
+    after = runtime.stats()
+    assert after["batches"] == before + 1  # coalesced
+    assert after["queries"] >= 4
+
+
+def test_http_endpoints(runtime):
+    base = runtime.address
+    with urllib.request.urlopen(f"{base}/health") as r:
+        health = json.loads(r.read())
+    assert health == {"status": "ok", "warm": True}
+
+    size = runtime.detector.model.config.image_size
+    payload = json.dumps(
+        {"images": _imgs(2, size).tolist(), "texts": ["a", "b"]}
+    ).encode()
+    req = urllib.request.Request(
+        f"{base}/v1/detect", data=payload, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert len(out["scores"]) == 2 and "latency_ms" in out
+
+    with urllib.request.urlopen(f"{base}/stats") as r:
+        stats = json.loads(r.read())
+    for key in ("uptime_s", "requests", "queries", "batches", "mean_batch_size"):
+        assert key in stats
+    assert stats["latency_p50_ms"] > 0
+
+
+def test_http_error_paths(runtime):
+    base = runtime.address
+    bad = json.dumps({"images": [[0.0]], "texts": ["a", "b"]}).encode()
+    req = urllib.request.Request(f"{base}/v1/detect", data=bad)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/nope")
+    assert e.value.code == 404
+
+
+def test_submit_shape_validation(runtime):
+    with pytest.raises(ValueError):
+        runtime.submit(np.zeros((2, 4, 4, 3), np.float32), ["one text only"])
+
+
+def test_stop_and_restart():
+    rt = ServingRuntime(
+        ServingConfig(clip_model="tiny", bank_size=32, batch_max_size=4)
+    )
+    rt.start(http=False)
+    size = rt.detector.model.config.image_size
+    out = rt.submit(_imgs(1, size), ["x"])
+    assert len(out["scores"]) == 1
+    rt.stop()
+    assert rt._batcher is None

@@ -167,6 +167,13 @@ def analyze_main(argv: Optional[Sequence[str]] = None) -> None:
     print(json.dumps(index, indent=2, default=str))
 
 
+def _serve_main(argv: Optional[Sequence[str]] = None) -> None:
+    """mm-serve: dynamic micro-batching detection service (tvc/serving.py)."""
+    from tvc.serving import serve_main
+
+    serve_main(argv)
+
+
 def _module_main() -> None:
     """``python -m tvc.cli <command>`` dispatcher (pip console scripts are
     the primary interface; this covers no-install usage)."""
@@ -181,6 +188,7 @@ def _module_main() -> None:
         "config-gen": config_gen_main,
         "build-bank": build_bank_main,
         "analyze": analyze_main,
+        "serve": _serve_main,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in commands:
         print(f"usage: python -m tvc.cli {{{','.join(commands)}}} [args...]")
