@@ -379,6 +379,38 @@ def test_token_mask_constrains_decode(qwen):
     assert free == ones
 
 
+def test_chunked_decode_matches_single_chunk():
+    """The early-exit chunked decode (while_loop over DECODE_CHUNK-step
+    scans) is bit-identical to one uninterrupted scan: the per-step RNG
+    sequence is unchanged and skipped steps only emit the EOT fill."""
+    import tvc.models.qwen as qwen_mod
+
+    prompts = ["a dog runs", "a red car on the street"]
+    orig = qwen_mod.DECODE_CHUNK
+    try:
+        qwen_mod.DECODE_CHUNK = 8  # max_new == chunk -> plain scan path
+        m1 = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=8)
+        plain = m1.generate(prompts, temperature=0.8, seed=5, n_samples=2)
+        qwen_mod.DECODE_CHUNK = 4  # chunked while_loop path
+        m2 = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=8)
+        chunked = m2.generate(prompts, temperature=0.8, seed=5, n_samples=2)
+    finally:
+        qwen_mod.DECODE_CHUNK = orig
+    assert plain == chunked
+
+
+def test_chunked_decode_early_exit_all_eot(qwen):
+    """A mask allowing only EOT drives every chain done on step 1; the
+    early-exit path must still return the full-width all-EOT buffer."""
+    import numpy as np
+
+    eot = qwen.tokenizer.eot_id
+    mask = np.zeros((qwen.config.vocab_size,), bool)
+    mask[eot] = True
+    out = qwen.generate(["a dog runs"], temperature=0.8, seed=1, token_mask=mask)
+    assert out == [""]  # all-EOT continuation detokenizes to empty
+
+
 def test_ascii_token_mask_shape(qwen):
     """ascii_token_mask: bool [vocab], EOT allowed, cached per instance."""
     m = qwen.ascii_token_mask()

@@ -223,6 +223,12 @@ class QwenLM(nn.Module):
 
 
 
+#: early-exit decode granularity: the decode while_loop checks the
+#: all-sequences-done flag every DECODE_CHUNK steps (see _build_decode).
+#: Applied when max_new_tokens is a larger multiple of it.
+DECODE_CHUNK = 4
+
+
 def _stable_seed(text: str) -> int:
     """FNV-1a digest -> [0, 2^31): python hash() is randomized per process
     (PYTHONHASHSEED), which would make variant generation — and therefore
@@ -858,11 +864,44 @@ class QwenModel:
                 return (caches, logits[:, 0], key, done), tok
 
             done0 = jnp.zeros((next_logits.shape[0],), bool)  # B * n_samples
-            (_, _, _, _), tokens = jax.lax.scan(
-                step,
-                (caches, next_logits, key, done0),
-                jnp.arange(self.max_new_tokens),
-            )
+            n_total = self.max_new_tokens
+            chunk = DECODE_CHUNK
+            if n_total > chunk and n_total % chunk == 0:
+                # early-exit chunked decode: scan `chunk` steps at a time
+                # inside a while_loop that stops once EVERY sequence has
+                # emitted EOT — with real weights short paraphrases skip
+                # the tail chunks entirely. Bit-identical to the plain
+                # scan: the per-step RNG key sequence is unchanged and
+                # skipped steps would only have emitted the EOT fill the
+                # output buffer is pre-filled with.
+                bs = next_logits.shape[0]
+                tokens0 = jnp.full((n_total, bs), eot, jnp.int32)
+
+                def chunk_cond(state):
+                    c, (_, _, _, done), _ = state
+                    return (c * chunk < n_total) & ~jnp.all(done)
+
+                def chunk_body(state):
+                    c, carry, tokens = state
+                    carry, toks = jax.lax.scan(
+                        step, carry, c * chunk + jnp.arange(chunk)
+                    )
+                    tokens = jax.lax.dynamic_update_slice(
+                        tokens, toks.astype(jnp.int32), (c * chunk, 0)
+                    )
+                    return c + 1, carry, tokens
+
+                _, _, tokens = jax.lax.while_loop(
+                    chunk_cond,
+                    chunk_body,
+                    (jnp.asarray(0), (caches, next_logits, key, done0), tokens0),
+                )
+            else:
+                (_, _, _, _), tokens = jax.lax.scan(
+                    step,
+                    (caches, next_logits, key, done0),
+                    jnp.arange(n_total),
+                )
             return tokens.T  # [B, max_new_tokens]
 
         return jax.jit(decode)
