@@ -574,7 +574,9 @@ class QwenModel:
         are computed only over them — [B, Va] instead of [B, 152k]: a
         ~40% smaller lm_head GEMM for the ASCII mask (90,916 of 151,936
         ids), no full-vocab mask `where` per step, and a smaller top-k
-        (measured 15.9 -> 13.7 ms/step at the 0.5B paraphrase batch)."""
+        (isolated head+topk microbench: 2.17 -> 1.69 ms/step at the 0.5B
+        paraphrase batch; profiler-traced device total with the gathered
+        head: 7.78 ms/step, near the ~6.3 ms bf16 GEMM roofline)."""
         c = self.config
         S = prompt_len + self.max_new_tokens
         eot = getattr(self.tokenizer, "eot_id", -1)
