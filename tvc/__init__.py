@@ -45,6 +45,8 @@ _LAZY = {
     "SDReferenceGenerator": "tvc.sd_ref",
     "EmbeddingBank": "tvc.bank",
     "ReferenceBank": "tvc.bank",
+    "ServingRuntime": "tvc.serving",
+    "ServingConfig": "tvc.serving",
 }
 
 

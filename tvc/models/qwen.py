@@ -938,6 +938,7 @@ class QwenModel:
         # per call; pad slots duplicate allowed[0] and are masked by
         # n_real). All-True masks take the unconstrained program.
         allowed = None
+        n_real = 0
         if token_mask is not None:
             m_np = np.asarray(token_mask, bool)
             if m_np.shape != (self.config.vocab_size,):
@@ -948,11 +949,23 @@ class QwenModel:
             if not m_np.any():
                 raise ValueError("token_mask allows no vocabulary ids")
             if not m_np.all():
-                allowed = np.nonzero(m_np)[0].astype(np.int32)
-        n_real = 0 if allowed is None else len(allowed)
-        if allowed is not None:
-            va = -(-n_real // 128) * 128  # lane-aligned padded head size
-            allowed = np.pad(allowed, (0, va - n_real), constant_values=int(allowed[0]))
+                # device-cache the padded allowed-id array per mask
+                # content: the serving loop passes the SAME mask every
+                # call, and re-uploading 360 KB host->device each decode
+                # costs a tunnel round-trip on the pipelined critical path
+                key_m = hash(m_np.tobytes())
+                cached = getattr(self, "_allowed_cache", None)
+                if cached is not None and cached[0] == key_m:
+                    _, allowed, n_real = cached
+                else:
+                    ids = np.nonzero(m_np)[0].astype(np.int32)
+                    n_real = len(ids)
+                    va = -(-n_real // 128) * 128  # lane-aligned padded size
+                    ids = np.pad(
+                        ids, (0, va - n_real), constant_values=int(ids[0])
+                    )
+                    allowed = jax.device_put(jnp.asarray(ids))
+                    self._allowed_cache = (key_m, allowed, n_real)
         key_shape = (
             plen, tok.shape[0], n_samples,
             None if allowed is None else len(allowed),
@@ -973,7 +986,7 @@ class QwenModel:
             jnp.asarray(np.minimum(lengths, plen), jnp.int32),
             jax.random.PRNGKey(seed),
             jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(allowed) if allowed is not None else jnp.zeros((0,), jnp.int32),
+            allowed if allowed is not None else jnp.zeros((0,), jnp.int32),
             jnp.asarray(n_real, jnp.int32),
         )
 
