@@ -55,6 +55,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_rtt(n=5):
+    """Fresh tunnel round-trip probe. RTT drifts over minutes (observed
+    31 -> 60+ ms within a run); every stage that subtracts RTT must probe
+    right before its timing loop, not reuse the bench-start value."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = tiny(jnp.zeros((8, 8)))
+    _ = float(z[0, 0])
+    t0 = _t.time()
+    for _ in range(n):
+        z = tiny(z)
+        _ = float(z[0, 0])
+    return (_t.time() - t0) / n
+
+
 def _variant_tokens_from(model, texts, paras, augmenter, V, T_b):
     """Mixed-strategy variants -> the defended step's [B, V, T_b] tensor:
     per query, Qwen paraphrases + host strategies (synonym/template) fill
@@ -150,6 +169,8 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     t0 = time.time()
     one_iteration(0)
     log(f"full-TVC compile+run ({B} queries x {n_qwen} qwen + host): {time.time() - t0:.1f}s")
+    rtt = _probe_rtt()  # fresh probe: minutes have passed since bench start
+    log(f"tunnel RTT (full-TVC stage): {rtt * 1e3:.1f} ms")
     times = []
     for it in range(3):
         t0 = time.time()
@@ -295,6 +316,7 @@ def _qwen7b_stage(rtt, n_prompts=192, n_qwen=3):
         t0 = time.time()
         paras = qwen.generate_paraphrases_batch(texts, n_qwen)
         log(f"qwen2-7b decode compile+run ({n_prompts}x{n_qwen}): {time.time() - t0:.1f}s")
+        rtt = _probe_rtt()  # fresh probe (see _probe_rtt)
         assert len(paras) == n_prompts
         times = []
         for i in range(3):
@@ -626,17 +648,6 @@ def main():
         def defended_k_call(k):
             return defended_k(params, pixels, tokens, variant_tokens, bank, k)
 
-    # measure tunnel RTT to subtract it
-    tiny = jax.jit(lambda x: x + 1.0)
-    z = tiny(jnp.zeros((8, 8)))
-    _ = float(z[0, 0])
-    t0 = time.time()
-    for _ in range(5):
-        z = tiny(z)
-        _ = float(z[0, 0])
-    rtt = (time.time() - t0) / 5
-    log(f"tunnel RTT: {rtt * 1e3:.1f} ms")
-
     log("compiling defended step (single + K-chained)...")
     t0 = time.time()
     agg, flags = step_fixed(params, pixels, bank)
@@ -646,6 +657,11 @@ def main():
     acc = defended_k_call(2)
     _ = float(acc)
     log(f"K-chained compile+run: {time.time() - t0:.1f}s")
+
+    # probe RTT AFTER the multi-minute compiles, right before the timing
+    # loops that subtract it (RTT drifts; see _probe_rtt)
+    rtt = _probe_rtt()
+    log(f"tunnel RTT: {rtt * 1e3:.1f} ms")
 
     def measure(k):
         t0 = time.time()
