@@ -112,3 +112,10 @@ def test_stop_and_restart():
     assert len(out["scores"]) == 1
     rt.stop()
     assert rt._batcher is None
+    # requests still queued at stop() fail fast instead of timing out
+    req_after = __import__("tvc.serving", fromlist=["_Request"])._Request(
+        _imgs(1, size), ["y"]
+    )
+    rt._queue.put(req_after)
+    rt.stop()
+    assert req_after.event.is_set() and req_after.error is not None

@@ -173,6 +173,15 @@ class ServingRuntime:
         if self._batcher is not None:
             self._batcher.join(timeout=5)
             self._batcher = None
+        # fail fast for anything still queued instead of letting callers
+        # block until their submit() timeout
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "serving runtime stopped"
+            req.event.set()
 
     # -- request path -----------------------------------------------------------
     def submit(self, images, texts: Sequence[str], timeout: float = 60.0):
