@@ -113,7 +113,7 @@ def _variant_tokens_from(model, texts, paras, augmenter, V, T_b):
     return tok.reshape(B, V, T_b)
 
 
-def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts, rtt, t_def_s):
+def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts, t_def_s):
     """BASELINE config #4: variant generation in the loop.
 
     Per timed iteration (the honest cold path — everything a new query
@@ -169,7 +169,7 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     t0 = time.time()
     one_iteration(0)
     log(f"full-TVC compile+run ({B} queries x {n_qwen} qwen + host): {time.time() - t0:.1f}s")
-    rtt = _probe_rtt()  # fresh probe: minutes have passed since bench start
+    rtt = _probe_rtt()  # stage-local probe (RTT drifts; see _probe_rtt)
     log(f"tunnel RTT (full-TVC stage): {rtt * 1e3:.1f} ms")
     times = []
     for it in range(3):
@@ -278,7 +278,7 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     }
 
 
-def _qwen7b_stage(rtt, n_prompts=192, n_qwen=3):
+def _qwen7b_stage(n_prompts=192, n_qwen=3):
     """Config #4 at reference spec scale: Qwen2-7B batched paraphrase
     decode (reference measured 3.2 ms/query on 6x RTX 4090,
     /root/reference/README.md:905; model list src/__init__.py:116-120).
@@ -813,7 +813,7 @@ def main():
             full.update(
                 _qwen_full_stage(
                     model, defended_step, params, pixels, tokens,
-                    variant_tokens, bank, texts, rtt, p50 / 1e3,
+                    variant_tokens, bank, texts, p50 / 1e3,
                 )
             )
         except Exception as e:
@@ -848,7 +848,7 @@ def main():
 
     if "--skip-7b" not in sys.argv and "--skip-qwen" not in sys.argv and not small:
         try:
-            full.update(_qwen7b_stage(rtt))
+            full.update(_qwen7b_stage())
         except Exception as e:
             log(f"qwen2-7b stage failed: {type(e).__name__}: {e}")
             full["qwen7b_error"] = f"{type(e).__name__}: {e}"[:200]

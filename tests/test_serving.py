@@ -102,6 +102,49 @@ def test_submit_shape_validation(runtime):
         runtime.submit(np.zeros((2, 4, 4, 3), np.float32), ["one text only"])
 
 
+def test_backlog_coalesces_past_deadline():
+    """Requests that piled up while a batch was running coalesce even
+    though the micro-batch deadline long expired — the ready queue is
+    drained regardless of the wait window."""
+    from tvc.serving import _Request
+
+    rt = ServingRuntime(
+        ServingConfig(
+            clip_model="tiny", bank_size=32, batch_max_size=8,
+            batch_max_wait_ms=0.0,  # deadline always already expired
+        )
+    )
+    size = rt.detector.model.config.image_size
+    reqs = [_Request(_imgs(2, size, seed=i), [f"q{i}a", f"q{i}b"]) for i in range(3)]
+    for r in reqs:
+        rt._queue.put(r)  # enqueue BEFORE the batcher starts
+    rt.start(http=False)
+    for r in reqs:
+        assert r.event.wait(60) and r.error is None
+    assert rt.stats()["batches"] == 1  # one coalesced detector call
+    rt.stop()
+
+
+def test_oversize_request_chunks_to_warm_buckets():
+    """A request larger than batch_max_size splits into warmed-bucket
+    chunks — no live-path compile of a novel shape."""
+    rt = ServingRuntime(
+        ServingConfig(clip_model="tiny", bank_size=32, batch_max_size=4)
+    )
+    rt.warmup()
+    rt.start(http=False)
+    size = rt.detector.model.config.image_size
+    images = _imgs(6, size)
+    texts = [f"q{i}" for i in range(6)]
+    out = rt.submit(images, texts)
+    assert len(out["scores"]) == 6
+    want = rt.detector.detect_batch(images, texts)
+    np.testing.assert_allclose(out["scores"], np.asarray(want.aggregated_score), atol=1e-5)
+    hist = rt.stats()["batch_bucket_counts"]
+    assert hist == {"2": 1, "4": 1}  # 6 -> chunk 4 + chunk 2
+    rt.stop()
+
+
 def test_stop_and_restart():
     rt = ServingRuntime(
         ServingConfig(clip_model="tiny", bank_size=32, batch_max_size=4)
@@ -119,3 +162,6 @@ def test_stop_and_restart():
     rt._queue.put(req_after)
     rt.stop()
     assert req_after.event.is_set() and req_after.error is not None
+    # submit on a stopped runtime raises instead of blocking to timeout
+    with pytest.raises(RuntimeError):
+        rt.submit(_imgs(1, size), ["z"])

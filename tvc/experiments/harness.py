@@ -315,9 +315,12 @@ class ExperimentHarness:
         n = self.config.num_samples
         try:
             ds = self._data_mgr.load_dataset(max_samples=n + 2 * size)
-            batch = next(ds.batches(batch_size=n + 2 * size))
+            # captions only — batches() would decode every image just to
+            # read its text; samples order == unshuffled batch order
             eval_texts = set(self.texts)
-            pool = [t for t in batch["texts"][n:] if t not in eval_texts]
+            pool = [
+                s.caption for s in ds.samples[n:] if s.caption not in eval_texts
+            ]
             self._hub_pool = pool[:size]
         except Exception:  # tiny/synthetic datasets may not extend
             self._hub_pool = []

@@ -952,8 +952,10 @@ class QwenModel:
                 # device-cache the padded allowed-id array per mask
                 # content: the serving loop passes the SAME mask every
                 # call, and re-uploading 360 KB host->device each decode
-                # costs a tunnel round-trip on the pipelined critical path
-                key_m = hash(m_np.tobytes())
+                # costs a tunnel round-trip on the pipelined critical
+                # path. Exact-match on the stored bytes (a bare hash
+                # could collide silently into the WRONG vocabulary).
+                key_m = m_np.tobytes()
                 cached = getattr(self, "_allowed_cache", None)
                 if cached is not None and cached[0] == key_m:
                     _, allowed, n_real = cached

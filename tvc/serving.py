@@ -88,6 +88,7 @@ class ServingRuntime:
         self._t_start = time.time()
         self._warm = False
         self._lock = threading.Lock()
+        self._enqueue_lock = threading.Lock()
         self._latencies: deque = deque(maxlen=1024)  # seconds, per request
         self.counters: Dict[str, Any] = {
             "requests": 0,
@@ -95,7 +96,17 @@ class ServingRuntime:
             "batches": 0,
             "batch_size_sum": 0,
             "errors": 0,
+            "batch_bucket_counts": {},  # padded bucket size -> detector calls
         }
+
+    @property
+    def _max_bucket(self) -> int:
+        """Largest power-of-two bucket <= batch_max_size — the biggest
+        program warmup() compiles; live batches never exceed it."""
+        b = 1
+        while b * 2 <= self.config.batch_max_size:
+            b *= 2
+        return b
 
     # -- construction ----------------------------------------------------------
     def _build_detector(self):
@@ -134,7 +145,7 @@ class ServingRuntime:
         model = getattr(self.detector, "model", None)
         size = getattr(getattr(model, "config", None), "image_size", 32)
         b = 1
-        while b <= self.config.batch_max_size:
+        while b <= self._max_bucket:
             images = np.zeros((b, size, size, 3), np.float32)
             self.detector.detect_batch(images, ["warmup"] * b)
             b *= 2
@@ -174,14 +185,17 @@ class ServingRuntime:
             self._batcher.join(timeout=5)
             self._batcher = None
         # fail fast for anything still queued instead of letting callers
-        # block until their submit() timeout
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.error = "serving runtime stopped"
-            req.event.set()
+        # block until their submit() timeout. The enqueue lock in submit()
+        # closes the race: a request that passed the running check is in
+        # the queue before this drain takes the lock.
+        with self._enqueue_lock:
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                req.error = "serving runtime stopped"
+                req.event.set()
 
     # -- request path -----------------------------------------------------------
     def submit(self, images, texts: Sequence[str], timeout: float = 60.0):
@@ -196,7 +210,10 @@ class ServingRuntime:
                 f"images {images.shape} and {len(texts)} texts"
             )
         req = _Request(images, texts)
-        self._queue.put(req)
+        with self._enqueue_lock:
+            if self._batcher is None or self._stop.is_set():
+                raise RuntimeError("serving runtime is not running")
+            self._queue.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("serving request timed out")
         if req.error is not None:
@@ -207,48 +224,80 @@ class ServingRuntime:
 
     def _batch_loop(self) -> None:
         cfg = self.config
+        cap = self._max_bucket
+        carry: Optional[_Request] = None  # admitted but overshot last batch
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             batch = [first]
             total = first.images.shape[0]
             deadline = first.t_enqueue + cfg.batch_max_wait_ms / 1e3
-            while total < cfg.batch_max_size:
-                wait = deadline - time.time()
-                if wait <= 0:
-                    break
+            while total < cap:
                 try:
-                    nxt = self._queue.get(timeout=wait)
+                    # drain already-queued requests even past the deadline
+                    # — under backlog the deadline is long expired by the
+                    # time a batch starts forming, and breaking on it
+                    # would collapse every batch to size 1
+                    nxt = self._queue.get_nowait()
                 except queue.Empty:
+                    wait = deadline - time.time()
+                    if wait <= 0:
+                        break
+                    try:
+                        nxt = self._queue.get(timeout=wait)
+                    except queue.Empty:
+                        break
+                if total + nxt.images.shape[0] > cap:
+                    carry = nxt  # would overshoot the largest warmed bucket
                     break
                 batch.append(nxt)
                 total += nxt.images.shape[0]
             self._run_batch(batch)
+        if carry is not None:
+            carry.error = "serving runtime stopped"
+            carry.event.set()
 
     @staticmethod
-    def _bucket(n: int, cap: int) -> int:
+    def _bucket(n: int) -> int:
+        """Smallest power of two >= n."""
         b = 1
         while b < n:
             b *= 2
-        return min(b, max(cap, n))
+        return b
 
     def _run_batch(self, batch: List[_Request]) -> None:
         try:
             images = np.concatenate([r.images for r in batch])
             texts: List[str] = sum((r.texts for r in batch), [])
             n = images.shape[0]
-            # pad to a power-of-two bucket: detect_batch compiles one
-            # program per batch shape, so buckets bound compile count
-            b = self._bucket(n, self.config.batch_max_size)
-            if b > n:
-                pad_img = np.zeros((b - n,) + images.shape[1:], images.dtype)
-                images = np.concatenate([images, pad_img])
-                texts = texts + ["pad"] * (b - n)
-            det = self.detector.detect_batch(images, texts)
-            scores = np.asarray(det.aggregated_score)[:n]
-            is_adv = np.asarray(det.is_adversarial)[:n]
+            cap = self._max_bucket
+            scores = np.empty((n,), np.float64)
+            is_adv = np.empty((n,), bool)
+            # chunk to the largest warmed bucket (a single request may
+            # exceed it), padding each chunk to a power of two: every
+            # program shape the live path runs was compiled by warmup()
+            for off in range(0, n, cap):
+                part_img = images[off : off + cap]
+                part_txt = texts[off : off + cap]
+                m = part_img.shape[0]
+                b = self._bucket(m)
+                if b > m:
+                    pad_img = np.zeros((b - m,) + part_img.shape[1:], part_img.dtype)
+                    part_img = np.concatenate([part_img, pad_img])
+                    part_txt = part_txt + ["pad"] * (b - m)
+                det = self.detector.detect_batch(part_img, part_txt)
+                scores[off : off + m] = np.asarray(det.aggregated_score)[:m]
+                is_adv[off : off + m] = np.asarray(det.is_adversarial)[:m]
+                with self._lock:
+                    self.counters["batches"] += 1
+                    self.counters["batch_size_sum"] += m
+                    hist = self.counters["batch_bucket_counts"]
+                    hist[b] = hist.get(b, 0) + 1
             off = 0
             for r in batch:
                 k = r.images.shape[0]
@@ -261,8 +310,6 @@ class ServingRuntime:
             with self._lock:
                 self.counters["requests"] += len(batch)
                 self.counters["queries"] += n
-                self.counters["batches"] += 1
-                self.counters["batch_size_sum"] += n
         except Exception as e:  # deliver the failure to every waiter
             with self._lock:
                 self.counters["errors"] += 1
@@ -275,6 +322,9 @@ class ServingRuntime:
         with self._lock:
             lat = sorted(self._latencies)
             c = dict(self.counters)
+            c["batch_bucket_counts"] = {
+                str(k): v for k, v in sorted(c["batch_bucket_counts"].items())
+            }
         out = {
             "uptime_s": round(time.time() - self._t_start, 3),
             "warm": self._warm,
