@@ -51,6 +51,29 @@ def test_cli_config_gen(capsys):
     assert out["profile"] == "cpu"
 
 
+def test_cli_deploy_modes(capsys, monkeypatch):
+    """mm-deploy flag surface (reference deploy.py modes): detect-only,
+    config-only with forced profile, bad-profile error, interactive menu."""
+    import pytest
+
+    from tvc.cli import deploy_main
+
+    deploy_main(["--detect-only"])
+    assert "hardware:" in capsys.readouterr().out
+
+    deploy_main(["--config-only", "--profile", "tpu_pod_slice"])
+    assert "profile: tpu_pod_slice" in capsys.readouterr().out
+
+    with pytest.raises(ValueError):
+        deploy_main(["--config-only", "--profile", "bogus"])
+
+    answers = iter(["1", "bad", "q"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    deploy_main(["--interactive"])
+    out = capsys.readouterr().out
+    assert "hardware:" in out and "unknown choice" in out
+
+
 def test_cli_build_bank(tmp_path, capsys):
     from tvc.cli import build_bank_main
 

@@ -70,17 +70,39 @@ def config_gen_main(argv: Optional[Sequence[str]] = None) -> None:
 
 def deploy_main(argv: Optional[Sequence[str]] = None) -> None:
     """mm-deploy / mm-auto-deploy: detect hardware, generate config, run a
-    smoke experiment (reference scripts/deploy.py:315)."""
+    smoke experiment (reference scripts/deploy.py:315; flag surface
+    mirrors its --detect-only / --config-only / --deploy-only /
+    --profile / --interactive modes, which in the reference depend on
+    quick_start/auto_deploy modules absent from its repo)."""
     p = argparse.ArgumentParser()
     p.add_argument("--skip-smoke", action="store_true")
+    p.add_argument("--detect-only", action="store_true", help="hardware probe only")
+    p.add_argument("--config-only", action="store_true", help="generate config only")
+    p.add_argument(
+        "--deploy-only", action="store_true",
+        help="skip detect/config output; run the smoke deployment only",
+    )
+    p.add_argument(
+        "--profile", default=None,
+        help="force a named hardware profile (see tvc.utils.profiles.PROFILES)",
+    )
+    p.add_argument("--interactive", action="store_true", help="menu-driven flow")
     args = p.parse_args(argv)
     from tvc.utils import DynamicConfigManager, HardwareDetector
 
-    hw = HardwareDetector().summary()
-    print("hardware:", json.dumps(hw))
-    cfg = DynamicConfigManager().auto_configure_system(write=True)
-    print("profile:", cfg["profile"])
-    if not args.skip_smoke:
+    def detect():
+        hw = HardwareDetector().summary()
+        print("hardware:", json.dumps(hw))
+        return hw
+
+    def gen_config():
+        cfg = DynamicConfigManager().auto_configure_system(
+            write=True, profile=args.profile
+        )
+        print("profile:", cfg["profile"])
+        return cfg
+
+    def smoke():
         from tvc.experiments.harness import HarnessConfig, ExperimentHarness
 
         results = ExperimentHarness(
@@ -89,6 +111,33 @@ def deploy_main(argv: Optional[Sequence[str]] = None) -> None:
             )
         ).run()
         print("smoke:", results.get("output_path"))
+
+    if args.interactive:
+        actions = {"1": detect, "2": gen_config, "3": smoke}
+        while True:
+            choice = input(
+                "mm-deploy: [1] detect hardware  [2] generate config  "
+                "[3] smoke run  [q] quit > "
+            ).strip().lower()
+            if choice in ("q", "quit", ""):
+                return
+            action = actions.get(choice)
+            if action is None:
+                print(f"unknown choice {choice!r}")
+            else:
+                action()
+        return
+    if args.detect_only:
+        detect()
+        return
+    if args.config_only:
+        gen_config()
+        return
+    if not args.deploy_only:
+        detect()
+        gen_config()
+    if not args.skip_smoke:
+        smoke()
 
 
 def quick_start_main(argv: Optional[Sequence[str]] = None) -> None:

@@ -101,11 +101,21 @@ class DynamicConfigManager:
         self.config_dir = Path(config_dir)
         self.detector = HardwareDetector()
 
-    def auto_configure_system(self, write: bool = True) -> Dict[str, Any]:
-        """(reference :561) — selects a profile and optionally writes
+    def auto_configure_system(
+        self, write: bool = True, profile: Optional[str] = None
+    ) -> Dict[str, Any]:
+        """(reference :561) — selects a profile (or uses the named one,
+        reference deploy.py --profile) and optionally writes
         configs/dynamic/auto_generated_config.yaml."""
         info = self.detector.detect()
-        profile = select_profile(info)
+        if profile is not None:
+            if profile not in PROFILES:
+                raise ValueError(
+                    f"unknown profile {profile!r}; available: {sorted(PROFILES)}"
+                )
+            profile = PROFILES[profile]
+        else:
+            profile = select_profile(info)
         config = {
             "generated_by": "tvc.utils.profiles.DynamicConfigManager",
             "hardware": self.detector.summary(),
