@@ -113,7 +113,7 @@ def _variant_tokens_from(model, texts, paras, augmenter, V, T_b):
     return tok.reshape(B, V, T_b)
 
 
-def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts, t_def_s):
+def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts):
     """BASELINE config #4: variant generation in the loop.
 
     Per timed iteration (the honest cold path — everything a new query
@@ -813,7 +813,7 @@ def main():
             full.update(
                 _qwen_full_stage(
                     model, defended_step, params, pixels, tokens,
-                    variant_tokens, bank, texts, p50 / 1e3,
+                    variant_tokens, bank, texts,
                 )
             )
         except Exception as e:

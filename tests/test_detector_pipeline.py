@@ -103,13 +103,20 @@ def test_detector_result_cache(clip, data):
     out2 = det.detect_adversarial(images[0], texts[0])
     assert det.stats["cache_hits"] == 1
     assert out1 == out2
+    # returned nested dicts must not alias the cached entry: caller
+    # mutation cannot poison later hits
+    out2["scores"]["consistency"] = -999.0
+    out2["details"]["poison"] = True
+    out3 = det.detect_adversarial(images[0], texts[0])
+    assert out3["scores"].get("consistency") != -999.0
+    assert "poison" not in out3["details"]
     det.detect_adversarial(images[1], texts[0])  # different image: miss
     det.detect_adversarial(images[0], texts[1])  # different text: miss
-    assert det.stats["cache_hits"] == 1
+    assert det.stats["cache_hits"] == 2
     # threshold update invalidates: same query recomputes under new decision
     det.threshold_manager.update(0.123)
     det.detect_adversarial(images[0], texts[0])
-    assert det.stats["cache_hits"] == 1
+    assert det.stats["cache_hits"] == 2
     # eviction: cache_size=3, 4 distinct keys inserted above -> oldest gone
     assert len(det._cache) <= 3
     # disabled: no entries, no hits

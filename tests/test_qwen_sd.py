@@ -379,6 +379,34 @@ def test_token_mask_constrains_decode(qwen):
     assert free == ones
 
 
+def test_decode_state_invalidates_on_params_swap():
+    """Reassigning .params must rebuild the stacked decode tree (the
+    fixture pattern `model.params = loaded` must not serve stale
+    weights), and a decode_only model whose per-layer params were freed
+    raises a clear error instead of KeyError."""
+    import copy
+
+    import numpy as np
+
+    m = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=4)
+    out_a = m.generate(["a b c"], temperature=0.0)
+    state_a = m._decode_state()
+    # swap in a different weight tree (re-init at another seed)
+    m.params = QwenModel(QwenConfig.tiny(), seed=1, max_new_tokens=4).params
+    state_b = m._decode_state()
+    assert state_b is not state_a
+    out_b = m.generate(["a b c"], temperature=0.0)
+    assert out_a != out_b  # new weights actually serve
+
+    d = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=4, decode_only=True)
+    d.generate(["a b c"], temperature=0.0)  # builds state, frees layers
+    d.quantize_weights_int8()  # resets the cache; layers are gone
+    import pytest
+
+    with pytest.raises(RuntimeError, match="decode_only"):
+        d.generate(["a b c"], temperature=0.0)
+
+
 def test_chunked_decode_matches_single_chunk():
     """The early-exit chunked decode (while_loop over DECODE_CHUNK-step
     scans) is bit-identical to one uninterrupted scan: the per-step RNG

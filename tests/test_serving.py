@@ -145,6 +145,55 @@ def test_oversize_request_chunks_to_warm_buckets():
     rt.stop()
 
 
+def test_fixed_text_bucket_no_new_programs(runtime):
+    """Long texts must NOT compile a new program shape: the serving
+    detector runs a fixed text bucket, truncating with EOT in-window."""
+    det = runtime.detector
+    assert det.config.text_bucket == 32
+    size = det.model.config.image_size
+    long_texts = ["word " * 200, "tiny"]
+    out = runtime.submit(_imgs(2, size), long_texts)
+    assert len(out["scores"]) == 2 and np.isfinite(out["scores"]).all()
+
+
+def test_int8_serving_engages_fused_path():
+    """int8_serving must actually flip the kernels on (it only engages
+    through fused_attention — a bare int8 flag was a silent no-op)."""
+    rt = ServingRuntime(
+        ServingConfig(clip_model="tiny", bank_size=16, batch_max_size=2,
+                      int8_serving=True)
+    )
+    assert rt.detector.model.config.int8_serving
+    assert rt.detector.model.config.fused_attention
+    rt.start(http=False)
+    size = rt.detector.model.config.image_size
+    out = rt.submit(_imgs(1, size), ["x"])
+    assert len(out["scores"]) == 1
+    assert rt.detector._serving is not None
+    rt.stop()
+
+
+def test_cancelled_request_skipped():
+    """A request whose submitter timed out is dropped by the batcher,
+    not processed into a wasted device batch."""
+    from tvc.serving import _Request
+
+    rt = ServingRuntime(
+        ServingConfig(clip_model="tiny", bank_size=16, batch_max_size=4)
+    )
+    size = rt.detector.model.config.image_size
+    dead = _Request(_imgs(1, size), ["dead"])
+    dead.cancelled = True
+    live = _Request(_imgs(1, size), ["live"])
+    rt._queue.put(dead)
+    rt._queue.put(live)
+    rt.start(http=False)
+    assert live.event.wait(60) and live.error is None
+    rt.stop()
+    assert not dead.event.is_set()  # never processed
+    assert rt.stats()["queries"] == 1
+
+
 def test_stop_and_restart():
     rt = ServingRuntime(
         ServingConfig(clip_model="tiny", bank_size=32, batch_max_size=4)

@@ -15,6 +15,7 @@ reference-parity wrapper.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import json
 from pathlib import Path
@@ -53,6 +54,14 @@ class DetectorConfig:
     use_fused_step: bool = True
     cache_enabled: bool = True
     cache_size: int = 1000
+    #: fixed text-sequence bucket for the fused step (rounded up to a
+    #: multiple of 8; None = per-batch adaptive bucketing). Serving sets
+    #: this so the compiled-program set is {batch buckets} x ONE text
+    #: shape — adaptive T_b would compile a fresh program on the live
+    #: path whenever a batch's max token length crossed an 8-boundary.
+    #: Overlong texts truncate with EOT pinned in-window (argmax-EOT
+    #: pooling stays valid).
+    text_bucket: Optional[int] = None
     #: tvc extension beyond the reference: two-sided detection flags BOTH
     #: abnormally low consistency (classic perturbation attacks) and
     #: abnormally HIGH consistency (hubness-style attacks that pull the
@@ -300,13 +309,20 @@ class AdversarialDetector:
         # params identity in the key: the step closes over int8 qparams
         # derived from model.params at build time — swapping params after
         # the first fused detect must re-derive them, or the projection
-        # GEMMs silently serve stale weights
+        # GEMMs silently serve stale weights. The key holds STRONG
+        # references compared with `is` (an id() of a garbage-collected
+        # tree can be recycled onto the new one, aliasing it to the stale
+        # cache entry).
         key = (
-            (with_bank, R, K, id(self.model.params), id(mesh))
-            if with_bank
-            else (False, 0, 0, id(self.model.params), id(mesh))
+            (with_bank, R, K) if with_bank else (False, 0, 0),
+            self.model.params,
+            mesh,
         )
-        if self._serving is None or self._serving[0] != key:
+        if self._serving is None or not (
+            self._serving[0][0] == key[0]
+            and self._serving[0][1] is key[1]
+            and self._serving[0][2] is key[2]
+        ):
             mcfg = self.model.config
             qp = (
                 # quantize the serving weights ONCE; threaded as a runtime
@@ -341,7 +357,20 @@ class AdversarialDetector:
             int(tokens.argmax(-1).max()) + 1,
             int(var_tokens.argmax(-1).max()) + 1,
         )
-        T_b = min(-(-real // 8) * 8, tokens.shape[-1])
+        if cfg.text_bucket is not None:
+            # fixed serving bucket: one text shape per batch bucket (see
+            # DetectorConfig.text_bucket); pin EOT in-window for rows the
+            # truncation would otherwise cut off
+            T_b = min(-(-cfg.text_bucket // 8) * 8, tokens.shape[-1])
+            eot = getattr(self.model.tokenizer, "eot_id", None)
+            if eot is not None and real > T_b:
+                tokens = tokens.copy()
+                var_tokens = var_tokens.copy()
+                tokens[tokens.argmax(-1) >= T_b, T_b - 1] = eot
+                vflat = var_tokens.reshape(-1, var_tokens.shape[-1])
+                vflat[vflat.argmax(-1) >= T_b, T_b - 1] = eot
+        else:
+            T_b = min(-(-real // 8) * 8, tokens.shape[-1])
         tokens = tokens[:, :T_b]
         var_tokens = var_tokens[:, :, :T_b]
 
@@ -551,7 +580,7 @@ class AdversarialDetector:
                 self._cache.pop(key)
                 self._cache[key] = hit
                 self.stats["cache_hits"] += 1
-                return dict(hit)
+                return copy.deepcopy(hit)  # callers may mutate nested dicts
         if methods is not None:
             cfg = dataclasses.replace(self.config, methods=tuple(methods))
             saved, self.config = self.config, cfg
@@ -570,10 +599,12 @@ class AdversarialDetector:
             "details": {k: _first_row(v) for k, v in res.details.items()},
         }
         if key is not None:
-            self._cache[key] = out
+            # deep copy: the returned nested scores/details dicts must not
+            # alias the cached entry (caller mutation would poison hits)
+            self._cache[key] = copy.deepcopy(out)
             while len(self._cache) > cfg0.cache_size:
                 self._cache.pop(next(iter(self._cache)))  # evict oldest
-        return dict(out)
+        return out
 
     # -- threshold calibration -------------------------------------------------
     def calibrate_two_sided(

@@ -458,11 +458,23 @@ class QwenModel:
         layer's HLO scanned L times — 24x smaller than the unrolled module
         (measured: unrolled 0.5B decode compiled in ~260-1000 s through the
         remote TPU compiler; scanned compiles in tens of seconds). Cached;
-        invalidated by quantize_weights_int8."""
-        if self._decode_state_cache is not None:
-            return self._decode_state_cache
+        invalidated by quantize_weights_int8 or reassigning ``params``
+        (identity-checked — a swapped weight tree must not serve the old
+        stacked copy)."""
+        if (
+            self._decode_state_cache is not None
+            and self._decode_state_cache[0] is self.params
+        ):
+            return self._decode_state_cache[1]
         c = self.config
         params = self.params
+        if self.decode_only and "layer_0" not in params:
+            raise RuntimeError(
+                "decode_only=True freed the per-layer params when the "
+                "stacked decode tree was built; the weight tree cannot be "
+                "rebuilt (reassign .params with a full tree, or construct "
+                "the model with the desired weights/quantization up front)"
+            )
         layer_trees = [params[f"layer_{i}"] for i in range(c.num_layers)]
         is_q = lambda x: isinstance(x, dict) and "int8" in x
 
@@ -518,8 +530,8 @@ class QwenModel:
         non_layer = {
             k: v for k, v in params.items() if not k.startswith("layer_")
         }
-        self._decode_state_cache = (non_layer, stacked)
-        return self._decode_state_cache
+        self._decode_state_cache = (self.params, (non_layer, stacked))
+        return self._decode_state_cache[1]
 
     @staticmethod
     def _merge_stacked(stacked: Dict[str, Any]) -> Dict[str, Any]:

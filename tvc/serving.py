@@ -56,13 +56,20 @@ class ServingConfig:
     num_text_variants: int = 5
     #: serve with the int8 W8A8 Pallas tower kernels (the production
     #: precision bench.py measures; +22% defended q/s, ranking identical
-    #: to bf16 on the trained fixture)
+    #: to bf16 on the trained fixture). Implies the fused-attention tower
+    #: kernels — the int8 path only engages through them.
     int8_serving: bool = False
+    #: fixed text-token bucket (multiple of 8): keeps the compiled program
+    #: set to {batch buckets} x one text shape, all covered by warmup();
+    #: longer texts truncate with EOT pinned in-window
+    text_bucket: int = 32
     seed: int = 0
 
 
 class _Request:
-    __slots__ = ("images", "texts", "event", "result", "error", "t_enqueue")
+    __slots__ = (
+        "images", "texts", "event", "result", "error", "t_enqueue", "cancelled"
+    )
 
     def __init__(self, images: np.ndarray, texts: List[str]):
         self.images = images
@@ -71,6 +78,7 @@ class _Request:
         self.result: Optional[Dict[str, Any]] = None
         self.error: Optional[str] = None
         self.t_enqueue = time.time()
+        self.cancelled = False  # set by a timed-out submit(); batcher skips
 
 
 class ServingRuntime:
@@ -125,7 +133,13 @@ class ServingRuntime:
             model = load_trained_tiny_coco(seed=cfg.seed)
         else:
             model = CLIPModel(
-                CLIPConfig.from_name(cfg.clip_model, int8_serving=cfg.int8_serving),
+                CLIPConfig.from_name(
+                    cfg.clip_model,
+                    int8_serving=cfg.int8_serving,
+                    # int8 only engages through the fused tower kernels
+                    # (CLIPModel.infer_* checks fused_attention first)
+                    fused_attention=cfg.int8_serving,
+                ),
                 seed=cfg.seed,
             )
         retriever = MultiModalRetriever(model, RetrievalConfig())
@@ -138,7 +152,10 @@ class ServingRuntime:
             )
             embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
             retriever.build_image_index(embeddings=embs)
-        det_kw: Dict[str, Any] = {"num_text_variants": cfg.num_text_variants}
+        det_kw: Dict[str, Any] = {
+            "num_text_variants": cfg.num_text_variants,
+            "text_bucket": cfg.text_bucket,
+        }
         if cfg.detection_threshold is not None:
             det_kw["detection_threshold"] = cfg.detection_threshold
         return AdversarialDetector(
@@ -222,6 +239,9 @@ class ServingRuntime:
                 raise RuntimeError("serving runtime is not running")
             self._queue.put(req)
         if not req.event.wait(timeout):
+            # the batcher drops cancelled requests instead of burning a
+            # device batch on a caller that already gave up
+            req.cancelled = True
             raise TimeoutError("serving request timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
@@ -241,6 +261,8 @@ class ServingRuntime:
                     first = self._queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
+            if first.cancelled:
+                continue
             batch = [first]
             total = first.images.shape[0]
             deadline = first.t_enqueue + cfg.batch_max_wait_ms / 1e3
@@ -259,6 +281,8 @@ class ServingRuntime:
                         nxt = self._queue.get(timeout=wait)
                     except queue.Empty:
                         break
+                if nxt.cancelled:
+                    continue
                 if total + nxt.images.shape[0] > cap:
                     carry = nxt  # would overshoot the largest warmed bucket
                     break
