@@ -51,12 +51,22 @@ def test_cli_config_gen(capsys):
     assert out["profile"] == "cpu"
 
 
-def test_cli_deploy_modes(capsys, monkeypatch):
+def test_cli_deploy_modes(capsys, monkeypatch, tmp_path):
     """mm-deploy flag surface (reference deploy.py modes): detect-only,
     config-only with forced profile, bad-profile error, interactive menu."""
     import pytest
 
     from tvc.cli import deploy_main
+    from tvc.utils import profiles
+
+    # --config-only writes auto_generated_config.yaml; keep the repo's
+    # TPU-generated copy out of the blast radius by writing to tmp_path.
+    orig_init = profiles.DynamicConfigManager.__init__
+    monkeypatch.setattr(
+        profiles.DynamicConfigManager,
+        "__init__",
+        lambda self, config_dir=None: orig_init(self, str(tmp_path)),
+    )
 
     deploy_main(["--detect-only"])
     assert "hardware:" in capsys.readouterr().out
