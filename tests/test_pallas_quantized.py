@@ -210,3 +210,63 @@ def test_qwen_w8a8_decode_runs():
     outa8 = ma8.generate(prompts, temperature=0.0)
     assert len(out8) == len(outa8) == 2
     assert all(isinstance(s, str) for s in outa8)
+
+
+def test_stacked_matmul_kernels_match_sliced():
+    """Scalar-prefetch stacked kernels (layer index selects the weight
+    blocks, zero slab copies) must match the per-layer kernels on every
+    layer of a stacked [L, K, N] tree."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.core.pallas.w8_matmul_kernel import (
+        w8_matmul,
+        w8_matmul_stacked,
+        w8a8_matmul,
+        w8a8_matmul_stacked,
+    )
+
+    L, M, K, N = 3, 16, 256, 384
+    key = jax.random.PRNGKey(0)
+    kx, kw = jax.random.split(key)
+    x = jax.random.normal(kx, (M, K), jnp.float32)
+    wf = jax.random.normal(kw, (L, K, N), jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-12) / 127.0  # [L, N]
+    wq = jnp.clip(jnp.round(wf / s[:, None, :]), -127, 127).astype(jnp.int8)
+    for l in range(L):
+        got_a8 = np.asarray(w8a8_matmul_stacked(x, wq, s, jnp.int32(l)))
+        want_a8 = np.asarray(w8a8_matmul(x, wq[l], s[l]))
+        np.testing.assert_allclose(got_a8, want_a8, rtol=1e-5, atol=1e-5)
+        got_w8 = np.asarray(w8_matmul_stacked(x, wq, s, jnp.int32(l)))
+        want_w8 = np.asarray(w8_matmul(x, wq[l], s[l]))
+        np.testing.assert_allclose(got_w8, want_w8, rtol=1e-5, atol=1e-5)
+        # layers must actually differ (the index is live)
+        if l > 0:
+            assert np.abs(got_a8 - np.asarray(w8a8_matmul(x, wq[0], s[0]))).max() > 1e-3
+
+
+def test_stacked_decode_attention_matches_sliced():
+    """Stacked-cache decode attention (layer via scalar prefetch) vs the
+    per-layer oracle on each layer."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.core.pallas.decode_attention_kernel import (
+        decode_gqa_attention_stacked,
+        decode_gqa_reference,
+    )
+
+    L, B, KV, R, S, D = 3, 8, 2, 3, 16, 32
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, KV, R, D), jnp.float32)
+    k = jax.random.normal(kk, (L, B, KV, S, D), jnp.float32)
+    v = jax.random.normal(kv, (L, B, KV, S, D), jnp.float32)
+    mask = jnp.where(jnp.arange(S)[None, :] < 10, 0.0, -jnp.inf)
+    mask = jnp.broadcast_to(mask, (B, S))
+    for l in range(L):
+        got = np.asarray(decode_gqa_attention_stacked(q, k, v, mask, jnp.int32(l)))
+        want = np.asarray(decode_gqa_reference(q, k[l], v[l], mask))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

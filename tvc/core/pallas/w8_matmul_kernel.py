@@ -246,6 +246,138 @@ def w8a8_matmul(
     )(xq, w_q, rs, s2)
 
 
+def _w8a8_stacked_kernel(l_ref, x_ref, w_ref, rs_ref, cs_ref, o_ref, acc_ref, *, nk: int):
+    # identical math to _w8a8_matmul_kernel; w/cs blocks carry a leading
+    # singleton layer dim selected by the prefetched layer index
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref[:])
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(1) == nk - 1)
+    def _flush():
+        o_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * rs_ref[:] * cs_ref[0][0][None, :]
+        ).astype(o_ref.dtype)
+
+
+def _w8_stacked_kernel(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref[:])
+
+    x = x_ref[:]
+    w = w_ref[0].astype(x.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == nk - 1)
+    def _flush():
+        o_ref[:] = (acc_ref[:] * s_ref[0][0][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w8a8_matmul_stacked(
+    x: Array,
+    w_q: Array,
+    scale: Array,
+    layer: Array,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """x [M, K] @ (w_q [L, K, N] int8)[layer] * scale [L, N][layer].
+
+    The layer index rides Pallas scalar prefetch: block index_maps select
+    layer ``layer`` of the STACKED weight tree directly, so a
+    ``lax.scan`` over transformer layers never materializes a per-layer
+    weight slab — the XLA alternative (``dynamic_index_in_dim`` inside
+    the scan body) copies every [K, N] int8 slab it touches, measured
+    ~17 ms/decode-step across Qwen2-7B's 28 layers (profiler trace,
+    B=576) against this kernel's zero-copy block DMAs."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M, K = x.shape
+    L, K2, N = w_q.shape
+    if K2 != K or scale.shape != (L, N):
+        raise ValueError(
+            f"w8a8_matmul_stacked: x [{M}, {K}] needs w_q [L, K, N] / "
+            f"scale [L, N], got w_q {tuple(w_q.shape)}, scale {tuple(scale.shape)}"
+        )
+    xf = x.astype(jnp.float32)
+    rs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / rs), -127, 127).astype(jnp.int8)
+    bk, bn = _pick_blocks_w8a8(M, K, N)
+    nk = K // bk
+    s3 = scale.astype(jnp.float32).reshape(L, 1, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, bn), nk),
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda j, k, l: (0, k)),
+            pl.BlockSpec((1, bk, bn), lambda j, k, l: (l[0], k, j)),
+            pl.BlockSpec((M, 1), lambda j, k, l: (0, 0)),
+            pl.BlockSpec((1, 1, bn), lambda j, k, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k, l: (0, j)),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_w8a8_stacked_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, w_q, rs, s3)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w8_matmul_stacked(
+    x: Array,
+    w_q: Array,
+    scale: Array,
+    layer: Array,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Weight-only variant of :func:`w8a8_matmul_stacked` (bf16
+    activations, in-register weight dequant) — same zero-copy stacked
+    weight selection via scalar prefetch."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M, K = x.shape
+    L, K2, N = w_q.shape
+    if K2 != K or scale.shape != (L, N):
+        raise ValueError(
+            f"w8_matmul_stacked: x [{M}, {K}] needs w_q [L, K, N] / "
+            f"scale [L, N], got w_q {tuple(w_q.shape)}, scale {tuple(scale.shape)}"
+        )
+    bk, bn = _pick_blocks(M, K, N)
+    nk = K // bk
+    s3 = scale.astype(jnp.float32).reshape(L, 1, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, bn), nk),
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda j, k, l: (0, k)),
+            pl.BlockSpec((1, bk, bn), lambda j, k, l: (l[0], k, j)),
+            pl.BlockSpec((1, 1, bn), lambda j, k, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k, l: (0, j)),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_w8_stacked_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_q, s3)
+
+
 def w8_matmul_reference(x: Array, w_q: Array, scale: Array) -> Array:
     """Dequant-then-matmul oracle (the XLA path this kernel replaces)."""
     w = w_q.astype(x.dtype) * scale.astype(x.dtype)

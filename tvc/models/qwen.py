@@ -24,8 +24,13 @@ import numpy as np
 from flax import linen as nn
 from jax import Array
 
-from tvc.core.pallas.decode_attention_kernel import decode_gqa_attention
-from tvc.core.pallas.w8_matmul_kernel import w8_matmul, w8a8_matmul
+from tvc.core.pallas.decode_attention_kernel import decode_gqa_attention_stacked
+from tvc.core.pallas.w8_matmul_kernel import (
+    w8_matmul,
+    w8_matmul_stacked,
+    w8a8_matmul,
+    w8a8_matmul_stacked,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -607,9 +612,16 @@ class QwenModel:
             streams weights as 1 byte/param and dequants in-register;
             "w8a8" also int8-quantizes activations per-row for the MXU's
             native s8xs8 path — tvc/core/pallas/w8_matmul_kernel.py) when
-            the activation block fits VMEM; prefill-sized blocks fall back
-            to XLA dequant (compute-bound there, so the extra traffic is
-            noise)."""
+            the activation block fits VMEM. Bigger blocks (prefill, and
+            decode batches past the VMEM budget): under "w8a8" the GEMM
+            still runs all-int8, but through XLA's native s8xs8->s32
+            dot_general with the per-row quantization fused around it —
+            measured at the 7B prefill block [9216, K] 376 ms vs 639 ms
+            for dequant-then-bf16-matmul and 789 ms for the Pallas kernel
+            (whose VMEM-budgeted tiles go latency-bound at M=9216) per 28
+            layers; at the doubled decode batch [1152, K] 48.7 vs 84.6
+            ms. Weight-only "w8" keeps the bf16 dequant fallback — its
+            contract is bf16-activation numerics."""
             B_, T_ = x3.shape[0], x3.shape[1]
             if isinstance(leaf, dict) and "int8" in leaf:
                 if B_ * T_ <= 1024:
@@ -620,6 +632,26 @@ class QwenModel:
                         leaf["scale"],
                     )
                     return y.reshape(B_, T_, -1)
+                if c.quant_gemm == "w8a8":
+                    xf = x3.astype(jnp.float32)
+                    rs = (
+                        jnp.maximum(
+                            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12
+                        )
+                        / 127.0
+                    )
+                    xq = jnp.clip(jnp.round(xf / rs), -127, 127).astype(jnp.int8)
+                    acc = jax.lax.dot_general(
+                        xq,
+                        leaf["int8"],
+                        (((xq.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return (
+                        acc.astype(jnp.float32)
+                        * rs
+                        * leaf["scale"].astype(jnp.float32)
+                    ).astype(c.dtype)
                 w = leaf["int8"].astype(c.dtype) * leaf["scale"].astype(c.dtype)
                 return x3.astype(c.dtype) @ w
             return x3.astype(c.dtype) @ leaf.astype(c.dtype)
@@ -640,92 +672,156 @@ class QwenModel:
             """One lax.scan over the L stacked layers. caches: (ck, cv)
             [L, B, S, KV, Dh] or None (no-cache forward).
 
-            The caches ride the scan CARRY (indexed per layer with
-            dynamic_index/update_index), NOT the xs/ys stream: scan ys
+            The caches ride the scan CARRY, NOT the xs/ys stream: scan ys
             materialize a fresh [L, B, S, KV, Dh] output buffer every
             decode step, a full-cache copy (measured 3.7 ms/step at the
             0.5B paraphrase batch); carried buffers get in-place
-            dynamic-update-slice from XLA (same update measured 0.16
-            ms/step)."""
+            dynamic-update-slice from XLA.
+
+            The merged (single-device) decode path never materializes a
+            per-layer slab of ANYTHING: weight GEMMs and attention take
+            the STACKED arrays plus the layer index through Pallas scalar
+            prefetch (block index_maps select the layer; zero-copy DMAs),
+            and cache updates dynamic-update-slice one token column
+            directly into the stacked carry. The XLA alternative —
+            dynamic_index_in_dim slab extract + slab write-back per layer
+            inside the scan, this function's previous shape — measured
+            ~29 ms of pure copies per decode step at the Qwen2-7B
+            paraphrase batch (B=576: ~17 ms weight slabs + ~12 ms cache
+            slabs, profiler trace) against ~21 ms of actual GEMM work."""
 
             merged = "wqkv" in stacked
             nq = c.num_heads * head_dim
             nkv = c.num_kv_heads * head_dim
             reps = c.num_heads // c.num_kv_heads
 
-            def merged_layer(h, lp, kl, vl):
+            def mm_stacked(x3, leaf, l):
+                """x [B, T, K] @ (stacked weight leaf)[l]. int8 leaves
+                with VMEM-sized activation blocks ride the scalar-prefetch
+                stacked kernels; everything else slices the layer's leaf
+                (one slab copy — only taken on the prefill block, where
+                it is amortized over the whole prompt) and reuses mm()."""
+                B_, T_ = x3.shape[0], x3.shape[1]
+                if (
+                    isinstance(leaf, dict)
+                    and "int8" in leaf
+                    and B_ * T_ <= 1024
+                ):
+                    kern = (
+                        w8a8_matmul_stacked
+                        if c.quant_gemm == "w8a8"
+                        else w8_matmul_stacked
+                    )
+                    y = kern(
+                        x3.reshape(B_ * T_, -1).astype(c.dtype),
+                        leaf["int8"],
+                        leaf["scale"],
+                        l,
+                    )
+                    return y.reshape(B_, T_, -1)
+                sliced = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                    leaf,
+                )
+                return mm(x3, sliced)
+
+            def merged_layer(h, l, ck, cv):
                 """QwenBlock math with q|k|v and gate|up as single GEMMs
                 (numerics match the module path — output columns contract
                 identically; verified token-for-token by
                 tests/test_qwen_sd.py greedy parity).
 
-                Cache layout here is KV-MAJOR: kl/vl [B, KV, S, Dh], so
+                Cache layout here is KV-MAJOR: ck/cv [L, B, KV, S, Dh], so
                 each (b, kv) slab is a contiguous [S, Dh] matrix — the
                 layout the fused decode-attention kernel DMAs in one read
                 (tvc/core/pallas/decode_attention_kernel.py)."""
                 B, T = h.shape[0], h.shape[1]
-                x = rmsnorm(h, lp["ln_attn"])
-                qkv = mm(x, lp["wqkv"]) + lp["bqkv"].astype(c.dtype)
+
+                def lidx(a):
+                    return jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
+
+                x = rmsnorm(h, lidx(stacked["ln_attn"]))
+                qkv = mm_stacked(x, stacked["wqkv"], l) + lidx(
+                    stacked["bqkv"]
+                ).astype(c.dtype)
                 q = qkv[..., :nq].reshape(B, T, c.num_heads, head_dim)
                 k = qkv[..., nq : nq + nkv].reshape(B, T, c.num_kv_heads, head_dim)
                 v = qkv[..., nq + nkv :].reshape(B, T, c.num_kv_heads, head_dim)
                 q = rope(q, positions, c.rope_theta)
                 k = rope(k, positions, c.rope_theta)
-                kl = jax.lax.dynamic_update_slice(
-                    kl, k.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
+                # one token column (decode) / the prompt block (prefill)
+                # written IN PLACE into the stacked carry — never a slab
+                k_t = k.transpose(0, 2, 1, 3).astype(ck.dtype)  # [B, KV, T, Dh]
+                v_t = v.transpose(0, 2, 1, 3).astype(cv.dtype)
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k_t[None], (l, 0, 0, cache_index, 0)
                 )
-                vl = jax.lax.dynamic_update_slice(
-                    vl, v.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v_t[None], (l, 0, 0, cache_index, 0)
                 )
                 if T == 1:
-                    # decode: fused Pallas GQA over the cache — one HBM
-                    # read of k/v, no logits round-trip (measured 6.8 ->
-                    # ~1 ms/step at the 0.5B paraphrase batch)
+                    # decode: fused Pallas GQA straight over the stacked
+                    # cache — one HBM read of layer l's k/v, no logits
+                    # round-trip, no slab copy
                     qg = q.reshape(B, c.num_kv_heads, reps, head_dim)
-                    out = decode_gqa_attention(qg, kl, vl, mask[:, 0, 0])
+                    out = decode_gqa_attention_stacked(
+                        qg, ck, cv, mask[:, 0, 0], l
+                    )
                     out = out.reshape(B, T, c.num_heads * head_dim)
                 else:
+                    # prefill: attention over the just-computed prompt
+                    # k/v — the cache is write-only here, and the key
+                    # range is the prompt block (cache slots past the
+                    # prompt were -inf-masked anyway)
                     qg = q.reshape(B, T, c.num_kv_heads, reps, head_dim)
                     lg = jnp.einsum(
-                        "btkrd,bksd->bkrts", qg, kl, preferred_element_type=jnp.float32
+                        "btkrd,bksd->bkrts", qg, k_t, preferred_element_type=jnp.float32
                     ) / np.sqrt(head_dim)
-                    lg = lg + mask[:, 0][:, None, None]
+                    lg = lg + mask[:, 0][:, None, None, :, :T]
                     w = jax.nn.softmax(lg, axis=-1).astype(c.dtype)
-                    out = jnp.einsum("bkrts,bksd->btkrd", w, vl)
+                    out = jnp.einsum("bkrts,bksd->btkrd", w, v_t)
                     out = out.reshape(B, T, c.num_heads * head_dim)
-                h = h + mm(out, lp["wo"])
-                x2 = rmsnorm(h, lp["ln_mlp"])
-                gu = mm(x2, lp["wgu"])
+                h = h + mm_stacked(out, stacked["wo"], l)
+                x2 = rmsnorm(h, lidx(stacked["ln_mlp"]))
+                gu = mm_stacked(x2, stacked["wgu"], l)
                 act = jax.nn.silu(gu[..., : c.intermediate_size]) * gu[
                     ..., c.intermediate_size :
                 ]
-                h = h + mm(act.astype(c.dtype), lp["wd"])
-                return h, kl, vl
+                h = h + mm_stacked(act.astype(c.dtype), stacked["wd"], l)
+                return h, ck, cv
 
-            def body(carry, xs):
+            def body(carry, l):
                 h, ck, cv = carry
-                lp, l = xs
-                # int8 dequant INSIDE the body: only one layer's bf16 copy
-                # is ever materialized (whole-tree dequant of int8 Qwen2-7B
-                # would need a 14 GB transient next to the 7.5 GB int8
-                # tree — over the 16 GB HBM)
-                kl = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-                vl = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
                 if merged:
-                    # int8 leaves stay quantized INTO merged_layer — the W8
-                    # kernel reads them as 1 byte/param (no whole-layer
-                    # bf16 materialization)
-                    h, nkl, nvl = merged_layer(h, lp, kl, vl)
+                    # stacked weights/caches stay put; Pallas scalar
+                    # prefetch selects layer l blockwise (int8 leaves are
+                    # read as 1 byte/param — no whole-layer bf16
+                    # materialization either)
+                    h, ck, cv = merged_layer(h, l, ck, cv)
                 else:
+                    # module path (TP/module parity flows): per-layer
+                    # slab extract + write-back, layout S-major
+                    lp = jax.tree_util.tree_map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, l, 0, keepdims=False
+                        ),
+                        stacked,
+                    )
+                    kl = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+                    vl = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+                    # int8 dequant INSIDE the body: only one layer's bf16
+                    # copy is ever materialized (whole-tree dequant of
+                    # int8 Qwen2-7B would need a 14 GB transient next to
+                    # the 7.5 GB int8 tree — over the 16 GB HBM)
                     h, (nkl, nvl) = block.apply(
                         {"params": dequant(lp)}, h, positions, mask, (kl, vl), cache_index
                     )
-                ck = jax.lax.dynamic_update_index_in_dim(ck, nkl, l, 0)
-                cv = jax.lax.dynamic_update_index_in_dim(cv, nvl, l, 0)
+                    ck = jax.lax.dynamic_update_index_in_dim(ck, nkl, l, 0)
+                    cv = jax.lax.dynamic_update_index_in_dim(cv, nvl, l, 0)
                 return (h, ck, cv), None
 
             (x, ck, cv), _ = jax.lax.scan(
-                body, (x, caches[0], caches[1]), (stacked, jnp.arange(c.num_layers))
+                body, (x, caches[0], caches[1]), jnp.arange(c.num_layers)
             )
             return x, (ck, cv)
 
