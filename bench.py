@@ -74,43 +74,43 @@ def _probe_rtt(n=5):
     return (_t.time() - t0) / n
 
 
-def _variant_tokens_from(model, texts, paras, augmenter, V, T_b):
-    """Mixed-strategy variants -> the defended step's [B, V, T_b] tensor:
-    per query, Qwen paraphrases + host strategies (synonym/template) fill
-    V slots, padded with the original. One batched tokenize; overlong
-    variants keep EOT in-window so argmax-EOT text pooling stays valid."""
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("TVC_BENCH_PIPE_DEBUG")
-    _t0 = _time.time()
-    B = len(texts)
-    eot = model.tokenizer.eot_id
-    cands_flat = []
-    for text, plist in zip(texts, paras):
-        # only ask the host strategies for the slots the paraphrases
-        # leave open — generate_variants(text, V) oversamples ~2V raw
-        # candidates through every strategy, ~3x the host time for
-        # variants the [:V] truncation would drop
-        n_host = max(V - len(plist), 0)
-        host = augmenter.generate_variants(text, n_host) if augmenter and n_host else []
-        cands = (list(plist) + host + [text] * V)[:V]
-        cands_flat.extend(cands)
-    _t1 = _time.time()
-    full = np.asarray(model.tokenize(cands_flat))  # [B*V, ctx]
-    _t2 = _time.time()
+def _trim_tokens(full, T_b, eot):
+    """[N, ctx] -> [N, T_b] with EOT kept in-window for overlong rows, so
+    argmax-EOT text pooling stays valid."""
     tok = full[:, :T_b].copy()
-    overlong = full.argmax(-1) >= T_b
-    tok[overlong, -1] = eot
-    if _dbg:
-        print(
-            f"    assemble: slots {1e3 * (_t1 - _t0):.0f}"
-            f" tokenize {1e3 * (_t2 - _t1):.0f}"
-            f" trim {1e3 * (_time.time() - _t2):.0f} ms",
-            file=sys.stderr,
-            flush=True,
-        )
-    return tok.reshape(B, V, T_b)
+    tok[full.argmax(-1) >= T_b, -1] = eot
+    return tok
+
+
+def _host_slot_tokens(model, texts, augmenter, n_host, T_b):
+    """Host-strategy variant slots (synonym/template) -> [B, n_host, T_b].
+
+    Independent of the Qwen decode — callers run this while the decode is
+    in flight (single-threaded async overlap: the host fills the window it
+    would otherwise spend blocked on the paraphrase-ids readback). Queries
+    the strategies for exactly n_host variants (generate_variants(text, V)
+    oversamples ~2V raw candidates, ~3x the host time for variants the
+    truncation would drop), padding shortfalls with the original."""
+    rows = []
+    for text in texts:
+        host = augmenter.generate_variants(text, n_host) if augmenter and n_host else []
+        rows.extend((host + [text] * n_host)[:n_host])
+    full = np.asarray(model.tokenize(rows))
+    return _trim_tokens(full, T_b, model.tokenizer.eot_id).reshape(
+        len(texts), n_host, T_b
+    )
+
+
+def _qwen_slot_tokens(model, texts, paras, n_qwen, T_b):
+    """Qwen paraphrase slots -> [B, n_qwen, T_b]; short lists (empty
+    generations are filtered upstream) pad with the original."""
+    rows = []
+    for text, plist in zip(texts, paras):
+        rows.extend((list(plist) + [text] * n_qwen)[:n_qwen])
+    full = np.asarray(model.tokenize(rows))
+    return _trim_tokens(full, T_b, model.tokenizer.eot_id).reshape(
+        len(texts), n_qwen, T_b
+    )
 
 
 def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts):
@@ -158,11 +158,26 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     # number by ~0.3 ms/q)
     ascii_mask = qwen.ascii_token_mask()
 
+    # the original's slot tokens are the defended step's `tokens` input —
+    # the system has them by construction, so the slot costs a reshape
+    orig_tok = np.asarray(tokens)[:, None, :]  # [B, 1, T_b]
+    n_host = max(V - n_qwen - 1, 0)
+
     def one_iteration(seed):
-        paras = qwen.generate_paraphrases_batch(
+        # single-threaded async overlap WITHIN the batch (nothing spans
+        # batches, nothing is cached): the decode is dispatched, then the
+        # host computes the decode-independent slots — host-strategy
+        # variants + their CLIP tokenize (~65 ms on the single-core host)
+        # — inside the window it would otherwise spend blocked on the
+        # paraphrase-ids readback. Only the Qwen slots' tokenize remains
+        # after the readback.
+        fin = qwen.generate_paraphrases_batch_async(
             texts, n_qwen, seed=seed, token_mask=ascii_mask
         )
-        var_tok = _variant_tokens_from(model, texts, paras, augmenter, V, T_b)
+        htok = _host_slot_tokens(model, texts, augmenter, n_host, T_b)
+        paras = fin()  # readback = sync with the decode
+        qtok = _qwen_slot_tokens(model, texts, paras, n_qwen, T_b)
+        var_tok = np.concatenate([qtok, htok, orig_tok], axis=1)
         agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
         _ = float(agg[0])  # readback = sync
 
@@ -243,19 +258,27 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
             else None
         )
         t2 = time.time()
-        plist = handle()
+        # decode-independent slots BEFORE the readback: host-strategy
+        # variants + their tokenize run while decode(i)/decode(i+1) are in
+        # flight on the device (same within-batch overlap as the serial
+        # loop) — after the readback only the Qwen slots' tokenize remains
+        htok = _host_slot_tokens(model, texts, augmenter, n_host, T_b)
         t3 = time.time()
-        var_tok = _variant_tokens_from(model, texts, plist, augmenter, V, T_b)
+        plist = handle()
         t4 = time.time()
+        qtok = _qwen_slot_tokens(model, texts, plist, n_qwen, T_b)
+        var_tok = np.concatenate([qtok, htok, orig_tok], axis=1)
+        t5 = time.time()
         agg, _ = defended_step(params, pixels, tokens, jnp.asarray(var_tok), bank)
         aggs.append(agg)
         handle = nxt
         if _dbg:
             log(
                 f"  pipe iter {i}: decode-dispatch {1e3 * (t2 - t1):.0f}"
-                f" finalize {1e3 * (t3 - t2):.0f}"
-                f" assemble {1e3 * (t4 - t3):.0f}"
-                f" defended-dispatch {1e3 * (time.time() - t4):.0f} ms"
+                f" host-slots {1e3 * (t3 - t2):.0f}"
+                f" finalize {1e3 * (t4 - t3):.0f}"
+                f" qwen-slots {1e3 * (t5 - t4):.0f}"
+                f" defended-dispatch {1e3 * (time.time() - t5):.0f} ms"
             )
     for agg in aggs:  # stream all detection scores back (final drain)
         _ = float(agg[0])
