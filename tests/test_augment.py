@@ -138,17 +138,18 @@ def test_config_typed_accessors():
     assert cfg.get_model_config("clip")["embed_dim"] == 512
 
 
-def test_bench_variant_tokens_from():
-    """bench._variant_tokens_from: fills V slots per query (paraphrases
-    first, then host strategies, padded with the original), one batched
-    tokenize, EOT forced in-window for overlong variants."""
+def test_bench_slot_tokens():
+    """bench._host_slot_tokens / _qwen_slot_tokens (the overlap split of
+    the old _variant_tokens_from): each fills its slot block per query
+    (padded with the original on shortfall), one batched tokenize, EOT
+    forced in-window for overlong variants."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import numpy as np
 
-    from bench import _variant_tokens_from
+    from bench import _host_slot_tokens, _qwen_slot_tokens
     from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
     from tvc.models import CLIPConfig, CLIPModel
 
@@ -160,13 +161,20 @@ def test_bench_variant_tokens_from():
     )
     texts = ["a cat sits on a mat", "a very long caption " * 12]
     paras = [["the cat rests on a rug", "a cat is on the mat"], []]
-    V, T_b = 4, 8
-    tok = _variant_tokens_from(model, texts, paras, aug, V, T_b)
-    assert tok.shape == (2, V, T_b)
+    T_b = 8
+    host = _host_slot_tokens(model, texts, aug, 2, T_b)
+    qwen = _qwen_slot_tokens(model, texts, paras, 2, T_b)
+    assert host.shape == (2, 2, T_b) and qwen.shape == (2, 2, T_b)
     eot = model.tokenizer.eot_id
-    # every variant row ends with EOT in-window (argmax-EOT pooling valid)
-    lens = tok.reshape(-1, T_b).argmax(-1)
-    assert (tok.reshape(-1, T_b)[np.arange(len(lens)), lens] == eot).all()
+    for tok in (host, qwen):
+        # every variant row ends with EOT in-window (argmax-EOT pooling)
+        flat = tok.reshape(-1, T_b)
+        lens = flat.argmax(-1)
+        assert (flat[np.arange(len(lens)), lens] == eot).all()
+    # shortfall pads with the original text's tokens (row 1 has no paras)
+    orig = np.asarray(model.tokenize([texts[1]]))[:, :T_b]
+    orig[0, -1] = eot  # overlong caption: EOT forced in-window
+    assert (qwen[1, 0] == orig[0]).all() and (qwen[1, 1] == orig[0]).all()
 
 
 def test_generate_variants_rejects_blank_input():

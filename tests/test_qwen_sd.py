@@ -357,7 +357,7 @@ def test_token_mask_constrains_decode(qwen):
 
     tok = qwen.tokenizer(prompts)
     lengths = (tok != qwen.tokenizer.pad_id).sum(axis=1)
-    plen, _, _, n_allowed = qwen._decode_fn[0]
+    plen, _, _, n_allowed, _ = qwen._decode_fn[0]
     allowed = np.nonzero(mask)[0].astype(np.int32)
     n_real = len(allowed)
     assert n_allowed == -(-n_real // 128) * 128
@@ -445,3 +445,121 @@ def test_ascii_token_mask_shape(qwen):
     assert m.shape == (qwen.config.vocab_size,) and m.dtype == bool
     assert m[qwen.tokenizer.eot_id]
     assert m is qwen.ascii_token_mask()  # cached
+
+
+# ---- prefix-shared prefill --------------------------------------------------
+
+
+class _WordTok:
+    """Word-level tokenizer WITHOUT per-call BOS/EOS wrapping — splitting a
+    prompt at a space boundary is token-exact, so the prefix-shared prefill
+    path engages (unlike HashTokenizer, whose sot/eot wrappers force the
+    fallback)."""
+
+    def __init__(self, vocab_size=512, context_length=48):
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+        self.pad_id = 0
+        self.eot_id = vocab_size - 1
+
+    def _ids(self, text):
+        ws = "".join(c if c.isalnum() else " " for c in text.lower()).split()
+        return [1 + (hash(w) % (self.vocab_size - 3)) for w in ws]
+
+    def __call__(self, texts):
+        import numpy as np
+
+        out = np.full((len(texts), self.context_length), self.pad_id, np.int32)
+        for i, t in enumerate(texts):
+            ids = self._ids(t)[: self.context_length]
+            out[i, : len(ids)] = ids
+        return out
+
+    def decode(self, ids):
+        return " ".join(
+            f"w{int(i)}" for i in ids if i not in (self.pad_id, self.eot_id)
+        )
+
+
+def test_prefix_shared_prefill_matches_plain():
+    """Two-phase prefix-shared prefill (batch-1 prefix KV broadcast + suffix
+    prefill at offset P) is numerically the same program as plain prefill:
+    greedy decode matches token-for-token, and the prefix path actually
+    engaged (verdict cache records the split as token-exact)."""
+    from tvc.models.qwen import QwenConfig, QwenModel
+
+    tok = _WordTok()
+    prompts = [
+        "rewrite this sentence: a cat sat on the mat",
+        "rewrite this sentence: two dogs run in a park today",
+    ]
+    m = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=6, tokenizer=tok)
+    plain = m.generate(prompts, temperature=0.0)
+    m2 = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=6, tokenizer=tok)
+    pref = m2.generate(
+        prompts, temperature=0.0, shared_prefix="rewrite this sentence:"
+    )
+    assert m2._prefix_ok_cache == {"rewrite this sentence:": True}
+    assert pref == plain, (pref, plain)
+    # n_samples grouping survives the prefix path (greedy: tiled == repeat)
+    tiled = m2.generate(
+        prompts, temperature=0.0, n_samples=2,
+        shared_prefix="rewrite this sentence:",
+    )
+    assert tiled == [p for p in plain for _ in range(2)]
+
+
+def test_prefix_shared_prefill_fallback_hash_tokenizer(qwen):
+    """HashTokenizer wraps every call in sot/eot, so no string split is
+    token-exact — generate with shared_prefix must fall back to plain
+    prefill (same output, verdict cached False), not raise."""
+    prompts = ["rewrite: a cat", "rewrite: a dog"]
+    plain = qwen.generate(prompts, temperature=0.0)
+    pref = qwen.generate(prompts, temperature=0.0, shared_prefix="rewrite:")
+    assert pref == plain
+    assert qwen._prefix_ok_cache["rewrite:"] is False
+
+
+def test_paraphrase_prefix_splits_real_qwen_tokenizer():
+    """PARAPHRASE_PREFIX / TRANSLATE_PREFIX end on a byte-level-BPE
+    pretokenizer boundary: prefix ids + suffix ids == full-prompt ids under
+    the REAL Qwen2 tokenizer, over real COCO captions."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from tvc.models.qwen import (
+        PARAPHRASE_PROMPT,
+        PARAPHRASE_PREFIX,
+        TRANSLATE_PROMPT,
+        TRANSLATE_PREFIX,
+    )
+    from tvc.models.tokenizer import ASSET_DIR, get_tokenizer
+
+    if not (ASSET_DIR / "qwen_tokenizer" / "vocab.json").exists():
+        import pytest
+
+        pytest.skip("qwen tokenizer assets not bundled")
+    tok = get_tokenizer(vocab_size=151936, context_length=128)
+    coco = Path("/root/reference/data/raw/coco/annotations/captions_val2017.json")
+    if coco.exists():
+        anns = json.loads(coco.read_text())["annotations"]
+        texts = [a["caption"].strip() for a in anns[:25]]
+    else:
+        texts = ["a cat sat on the mat", "Two dogs playing in a park."]
+    cases = [(PARAPHRASE_PREFIX, PARAPHRASE_PROMPT.format(text=t)) for t in texts]
+    tp = TRANSLATE_PREFIX.format(src="English", dst="German")
+    cases += [
+        (tp, TRANSLATE_PROMPT.format(src="English", dst="German", text=t))
+        for t in texts[:5]
+    ]
+    pad = tok.pad_id
+    for prefix, full in cases:
+        fids = tok([full])[0]
+        pids = tok([prefix])[0]
+        sids = tok([full[len(prefix):]])[0]
+        real = lambda r: r[: int((r != pad).sum())]
+        got = np.concatenate([real(pids), real(sids)])
+        want = real(fids)
+        assert np.array_equal(got, want), (prefix, full)

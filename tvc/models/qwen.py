@@ -244,15 +244,27 @@ def _stable_seed(text: str) -> int:
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h % (2**31)
 
-PARAPHRASE_PROMPT = (
+#: the instruction prefix is IDENTICAL across every paraphrase prompt in a
+#: batch — generate_async prefills its KV once at batch 1 and broadcasts
+#: (prefix-shared prefill; the prefix is ~40% of the prompt tokens at COCO
+#: caption lengths). The split point sits on a byte-level-BPE pretokenizer
+#: boundary (prefix ends ':', suffix starts ' '), so
+#: tokenize(prefix) + tokenize(suffix) == tokenize(prefix + suffix)
+#: exactly (checked at runtime per call; test_qwen_sd.py asserts it over
+#: real COCO captions).
+PARAPHRASE_PREFIX = (
     "Rewrite the following sentence with the same meaning but different "
-    "wording.\nSentence: {text}\nRewrite:"
+    "wording.\nSentence:"
 )
+PARAPHRASE_PROMPT = PARAPHRASE_PREFIX + " {text}\nRewrite:"
 
-TRANSLATE_PROMPT = (
+#: like PARAPHRASE_PREFIX: constant within one translate() call (src/dst
+#: fixed), split on a pretokenizer boundary (':' | ' ')
+TRANSLATE_PREFIX = (
     "Translate the following sentence from {src} to {dst}. Reply with only "
-    "the translation.\nSentence: {text}\nTranslation:"
+    "the translation.\nSentence:"
 )
+TRANSLATE_PROMPT = TRANSLATE_PREFIX + " {text}\nTranslation:"
 
 #: ISO codes the reference's back-translation uses
 #: (src/text_augment.py:78-80: de/fr/es via Helsinki-NLP pipelines)
@@ -577,6 +589,7 @@ class QwenModel:
         batch: int,
         n_samples: int = 1,
         n_allowed: Optional[int] = None,
+        prefix_len: int = 0,
     ):
         """n_samples: decode n sampled continuations per prompt from ONE
         shared prefill. The paraphrase batch runs N identical prompt rows
@@ -668,7 +681,7 @@ class QwenModel:
                 )
             return mm(x, non_layer["lm_head"]["kernel"]).astype(jnp.float32)
 
-        def run_layers(non_layer, stacked, x, positions, mask, caches, cache_index):
+        def run_layers(non_layer, stacked, x, positions, mask, caches, cache_index, ctx=0):
             """One lax.scan over the L stacked layers. caches: (ck, cv)
             [L, B, S, KV, Dh] or None (no-cache forward).
 
@@ -769,17 +782,29 @@ class QwenModel:
                     )
                     out = out.reshape(B, T, c.num_heads * head_dim)
                 else:
-                    # prefill: attention over the just-computed prompt
-                    # k/v — the cache is write-only here, and the key
-                    # range is the prompt block (cache slots past the
-                    # prompt were -inf-masked anyway)
+                    # prefill: attention over the just-computed block k/v
+                    # plus (prefix-shared prefill, ctx > 0) the ctx cache
+                    # slots written by the phase-1 prefix pass — read back
+                    # from the just-updated stacked cache in one slice
+                    # (the key range [0, ctx+T) is contiguous by layout)
                     qg = q.reshape(B, T, c.num_kv_heads, reps, head_dim)
+                    if ctx:
+                        kk = jax.lax.dynamic_slice(
+                            ck, (l, 0, 0, 0, 0),
+                            (1, B, c.num_kv_heads, ctx + T, head_dim),
+                        )[0]
+                        vv = jax.lax.dynamic_slice(
+                            cv, (l, 0, 0, 0, 0),
+                            (1, B, c.num_kv_heads, ctx + T, head_dim),
+                        )[0]
+                    else:
+                        kk, vv = k_t, v_t
                     lg = jnp.einsum(
-                        "btkrd,bksd->bkrts", qg, k_t, preferred_element_type=jnp.float32
+                        "btkrd,bksd->bkrts", qg, kk, preferred_element_type=jnp.float32
                     ) / np.sqrt(head_dim)
-                    lg = lg + mask[:, 0][:, None, None, :, :T]
+                    lg = lg + mask[:, 0][:, None, None, :, : ctx + T]
                     w = jax.nn.softmax(lg, axis=-1).astype(c.dtype)
-                    out = jnp.einsum("bkrts,bksd->btkrd", w, v_t)
+                    out = jnp.einsum("bkrts,bksd->btkrd", w, vv)
                     out = out.reshape(B, T, c.num_heads * head_dim)
                 h = h + mm_stacked(out, stacked["wo"], l)
                 x2 = rmsnorm(h, lidx(stacked["ln_mlp"]))
@@ -843,8 +868,19 @@ class QwenModel:
             Cache slots [0, plen) hold the padded prompt; generated tokens
             occupy [plen, S). Pad slots are masked out of attention; RoPE
             positions of generated tokens continue per-sample from the real
-            prompt end."""
-            B = prompt_tokens.shape[0]
+            prompt end.
+
+            With a static prefix_len, prompt_tokens is (prefix [P],
+            suffixes [B, plen-P]) and plen/lengths count prefix + suffix:
+            cache slots [0, P) hold the shared prefix (prefilled once at
+            batch 1, broadcast), [P, plen) the padded suffixes — real
+            tokens stay contiguous per row, so the decode loop below is
+            untouched by prefix sharing."""
+            B = (
+                prompt_tokens[1].shape[0]
+                if prefix_len
+                else prompt_tokens.shape[0]
+            )
             # constrained decoding: gather the allowed-vocab head rows ONCE
             # per call; every step's logits/sampling then run at [*, Va]
             if n_allowed is not None:
@@ -878,34 +914,101 @@ class QwenModel:
                 def head_fn(x):
                     return lm_head(x, non_layer)
 
-            positions = jnp.broadcast_to(jnp.arange(prompt_len), (B, prompt_len))
+            merged = "wqkv" in stacked
+            if prefix_len:
+                prefix_tokens, suffix_tokens = prompt_tokens
+                B = suffix_tokens.shape[0]
+            else:
+                suffix_tokens = prompt_tokens
             # merged (single-device) path uses the KV-major cache layout
             # the fused decode-attention kernel wants; the module/TP path
             # keeps the S-major layout QwenAttention updates
-            cache_shape = (
-                (c.num_layers, B, c.num_kv_heads, S, head_dim)
-                if "wqkv" in stacked
-                else (c.num_layers, B, S, c.num_kv_heads, head_dim)
-            )
+            def cache_shape(b, s):
+                return (
+                    (c.num_layers, b, c.num_kv_heads, s, head_dim)
+                    if merged
+                    else (c.num_layers, b, s, c.num_kv_heads, head_dim)
+                )
+
             caches = (
-                jnp.zeros(cache_shape, c.dtype),
-                jnp.zeros(cache_shape, c.dtype),
+                jnp.zeros(cache_shape(B, S), c.dtype),
+                jnp.zeros(cache_shape(B, S), c.dtype),
             )
             ks = jnp.arange(S)
-            # [B, 1, plen, S]: causal over the real prompt only
-            prefill_mask = jnp.where(
-                (ks[None, None, None, :] <= jnp.arange(prompt_len)[None, None, :, None])
-                & (ks[None, None, None, :] < lengths[:, None, None, None]),
-                0.0,
-                -jnp.inf,
-            )
-            x = embed_lookup(non_layer, prompt_tokens)
-            x, caches = run_layers(
-                non_layer, stacked, x, positions, prefill_mask, caches, 0
-            )
-            x = rmsnorm(x, non_layer["ln_f"]["scale"])
-            # head only at the last real token per sample
-            x = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)
+            if prefix_len:
+                # prefix-shared prefill, phase 1: the instruction prefix
+                # is IDENTICAL across the batch, so its KV is computed
+                # ONCE at batch 1 and broadcast into every row's cache
+                # slots [0, prefix_len) — prefix FLOPs drop B-fold (the
+                # prefix is ~40% of the prompt at paraphrase shapes)
+                P = prefix_len
+                pre_pos = jnp.arange(P)[None]
+                ks_p = jnp.arange(P)
+                pre_mask = jnp.where(
+                    ks_p[None, None, None, :] <= ks_p[None, None, :, None],
+                    0.0,
+                    -jnp.inf,
+                )  # [1, 1, P, P] causal, every prefix token real
+                pre_caches = (
+                    jnp.zeros(cache_shape(1, P), c.dtype),
+                    jnp.zeros(cache_shape(1, P), c.dtype),
+                )
+                xp = embed_lookup(non_layer, prefix_tokens[None])
+                _, pre_caches = run_layers(
+                    non_layer, stacked, xp, pre_pos, pre_mask, pre_caches, 0
+                )
+                caches = tuple(
+                    jax.lax.dynamic_update_slice(
+                        cz,
+                        jnp.broadcast_to(
+                            cp, (cp.shape[0], B) + cp.shape[2:]
+                        ).astype(cz.dtype),
+                        (0, 0, 0, 0, 0),
+                    )
+                    for cz, cp in zip(caches, pre_caches)
+                )
+                # phase 2: suffix-only prefill at cache offset P; queries
+                # see the whole prefix + a causal window over their own
+                # real suffix tokens (lengths are TOTAL: P + suffix_len)
+                Tsuf = prompt_len - P
+                positions = P + jnp.broadcast_to(jnp.arange(Tsuf), (B, Tsuf))
+                t_idx = jnp.arange(Tsuf)
+                prefill_mask = jnp.where(
+                    (ks[None, None, None, :] < P)
+                    | (
+                        (ks[None, None, None, :] <= P + t_idx[None, None, :, None])
+                        & (ks[None, None, None, :] < lengths[:, None, None, None])
+                    ),
+                    0.0,
+                    -jnp.inf,
+                )  # [B, 1, Tsuf, S]
+                x = embed_lookup(non_layer, suffix_tokens)
+                x, caches = run_layers(
+                    non_layer, stacked, x, positions, prefill_mask, caches,
+                    P, ctx=P,
+                )
+                x = rmsnorm(x, non_layer["ln_f"]["scale"])
+                # head only at the last real token per sample (index
+                # within the suffix block)
+                x = jnp.take_along_axis(
+                    x, (lengths - P - 1)[:, None, None], axis=1
+                )
+            else:
+                positions = jnp.broadcast_to(jnp.arange(prompt_len), (B, prompt_len))
+                # [B, 1, plen, S]: causal over the real prompt only
+                prefill_mask = jnp.where(
+                    (ks[None, None, None, :] <= jnp.arange(prompt_len)[None, None, :, None])
+                    & (ks[None, None, None, :] < lengths[:, None, None, None]),
+                    0.0,
+                    -jnp.inf,
+                )
+                x = embed_lookup(non_layer, suffix_tokens)
+                x, caches = run_layers(
+                    non_layer, stacked, x, positions, prefill_mask, caches, 0
+                )
+                x = rmsnorm(x, non_layer["ln_f"]["scale"])
+                # head only at the last real token per sample
+                x = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)
             next_logits = head_fn(x)[:, 0]  # [B, vocab-or-Va]
 
             if n_samples > 1:
@@ -1016,6 +1119,22 @@ class QwenModel:
 
         return jax.jit(decode)
 
+    def _prefix_ids(self, prefix: str) -> np.ndarray:
+        """Token ids of a shared prompt prefix (small per-string cache —
+        paraphrase/translate prefixes are a handful of fixed strings)."""
+        cache = getattr(self, "_prefix_ids_cache", None)
+        if cache is None:
+            cache = self._prefix_ids_cache = {}
+        ids = cache.get(prefix)
+        if ids is None:
+            row = self.tokenizer([prefix])[0]
+            pad = getattr(self.tokenizer, "pad_id", 0)
+            ids = row[: int((row != pad).sum())].astype(np.int32)
+            if len(cache) >= 8:
+                cache.clear()
+            cache[prefix] = ids
+        return ids
+
     def generate_async(
         self,
         prompts: List[str],
@@ -1023,6 +1142,7 @@ class QwenModel:
         seed: int = 0,
         n_samples: int = 1,
         token_mask: Optional[np.ndarray] = None,
+        shared_prefix: Optional[str] = None,
     ) -> Callable[[], List[str]]:
         """Dispatch the batched decode WITHOUT blocking; returns a zero-arg
         callable whose invocation performs the device->host readback and
@@ -1031,14 +1151,58 @@ class QwenModel:
         This is the single-threaded double-buffering primitive for the
         serving cold path (a producer *thread* fights the consumer for the
         GIL over detokenize/tokenize/augment; measured 2.4x slower than
-        this on the full-TVC bench loop)."""
-        tok = self.tokenizer(prompts)  # [B, ctx] padded
+        this on the full-TVC bench loop).
+
+        shared_prefix: an instruction prefix every prompt starts with.
+        Its KV cache is prefilled ONCE at batch 1 and broadcast
+        (prefix-shared prefill) — prefix prefill FLOPs drop B-fold, and
+        only the (much shorter) suffixes prefill at batch B. The prefix
+        must split the prompts on a byte-level-BPE pretokenizer boundary
+        (end it at punctuation/newline with the suffix starting with a
+        space or newline); token-id equality of the split is checked
+        against the first prompt (~0.1 ms, verdict cached per prefix) and
+        the call falls back to plain full-prompt prefill when the split
+        changes the ids (e.g. a tokenizer that wraps every call in
+        BOS/EOS, like the random-weight HashTokenizer)."""
+        pad = getattr(self.tokenizer, "pad_id", 0)
+        prefix_ids = np.zeros((0,), np.int32)
+        if shared_prefix:
+            bad = next(
+                (p for p in prompts if not p.startswith(shared_prefix)), None
+            )
+            if bad is not None:
+                raise ValueError(
+                    f"shared_prefix {shared_prefix!r} is not a prefix of "
+                    f"prompt {bad!r}"
+                )
+            ok_cache = getattr(self, "_prefix_ok_cache", None)
+            if ok_cache is None:
+                ok_cache = self._prefix_ok_cache = {}
+            if ok_cache.get(shared_prefix, True):
+                prefix_ids = self._prefix_ids(shared_prefix)
+                suffixes = [p[len(shared_prefix) :] for p in prompts]
+                tok = self.tokenizer(suffixes)  # [B, ctx] padded
+                if prompts and shared_prefix not in ok_cache:
+                    full0 = self.tokenizer([prompts[0]])[0]
+                    n0 = int((full0 != pad).sum())
+                    ns = int((tok[0] != pad).sum())
+                    split0 = np.concatenate([prefix_ids, tok[0, :ns]])
+                    ok_cache[shared_prefix] = bool(
+                        n0 == len(split0) and np.array_equal(full0[:n0], split0)
+                    )
+            if not ok_cache.get(shared_prefix, True):
+                # split not token-exact for this tokenizer: plain prefill
+                prefix_ids = np.zeros((0,), np.int32)
+                tok = self.tokenizer(prompts)
+        else:
+            tok = self.tokenizer(prompts)  # [B, ctx] padded
+        P = len(prefix_ids)
         # truncate to the longest real prompt, bucketed to a multiple of 8 so
         # nearby prompt lengths reuse one compiled decode program
-        lengths = (tok != getattr(self.tokenizer, "pad_id", 0)).sum(axis=1)
+        lengths = (tok != pad).sum(axis=1)
         plen = min(
             -(-max(int(lengths.max()), 4) // 8) * 8,
-            self.config.max_seq_len - self.max_new_tokens,
+            self.config.max_seq_len - self.max_new_tokens - P,
         )
         tok = tok[:, :plen]
         # constrained decoding: convert the bool mask to a padded
@@ -1079,21 +1243,27 @@ class QwenModel:
         key_shape = (
             plen, tok.shape[0], n_samples,
             None if allowed is None else len(allowed),
+            P,  # prefix ids are traced args — the program depends only
+            # on the prefix LENGTH, so same-length prefixes share it
         )
         if self._decode_fn is None or self._decode_fn[0] != key_shape:
             self._decode_fn = (
                 key_shape,
                 self._build_decode(
-                    plen, tok.shape[0], n_samples,
+                    plen + P, tok.shape[0], n_samples,
                     n_allowed=key_shape[3],
+                    prefix_len=P,
                 ),
             )
         non_layer, stacked = self._decode_state()
+        prompt_arg = (
+            (jnp.asarray(prefix_ids), jnp.asarray(tok)) if P else jnp.asarray(tok)
+        )
         out = self._decode_fn[1](
             non_layer,
             stacked,
-            jnp.asarray(tok),
-            jnp.asarray(np.minimum(lengths, plen), jnp.int32),
+            prompt_arg,
+            jnp.asarray(np.minimum(lengths, plen) + P, jnp.int32),
             jax.random.PRNGKey(seed),
             jnp.asarray(temperature, jnp.float32),
             allowed if allowed is not None else jnp.zeros((0,), jnp.int32),
@@ -1119,6 +1289,7 @@ class QwenModel:
         seed: int = 0,
         n_samples: int = 1,
         token_mask: Optional[np.ndarray] = None,
+        shared_prefix: Optional[str] = None,
     ) -> List[str]:
         """Batched prompt -> continuation decode. ``n_samples > 1`` returns
         n independent sampled continuations per prompt (output rows
@@ -1126,7 +1297,9 @@ class QwenModel:
         the cheap way to run the paraphrase batch's N-samples-per-query.
         ``token_mask`` (bool [vocab]) constrains sampling to the allowed
         vocabulary rows (see ascii_token_mask)."""
-        return self.generate_async(prompts, temperature, seed, n_samples, token_mask)()
+        return self.generate_async(
+            prompts, temperature, seed, n_samples, token_mask, shared_prefix
+        )()
 
     def ascii_token_mask(self) -> np.ndarray:
         """Boolean [vocab] mask of token ids whose decoded text is
@@ -1216,13 +1389,16 @@ class QwenModel:
         if not prompts:
             return lambda: [[] for _ in texts]
         # one prefill per UNIQUE prompt; the decode tiles each prompt's KV
-        # n-fold for independent sampling chains (n_samples path)
+        # n-fold for independent sampling chains (n_samples path). The
+        # instruction prefix prefills once for the whole batch
+        # (prefix-shared prefill, see generate_async).
         handle = self.generate_async(
             prompts,
             temperature=temperature,
             seed=seed,
             n_samples=n,
             token_mask=token_mask,
+            shared_prefix=PARAPHRASE_PREFIX,
         )
 
         def result() -> List[List[str]]:
@@ -1248,6 +1424,7 @@ class QwenModel:
         outs = self.generate(
             prompts, temperature=temperature,
             seed=_stable_seed(f"{src}->{dst}:" + "\x00".join(texts)),
+            shared_prefix=TRANSLATE_PREFIX.format(src=sn, dst=dn),
         )
         # keep positional alignment: round-trips pair output i with input i
         return [o.strip() or texts[i] for i, o in enumerate(outs)]
