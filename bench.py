@@ -45,14 +45,39 @@ the axon tunnel RTT per readback.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# wall-clock budget for the WHOLE bench (seconds). Round 3's run blew the
+# driver's window (rc=124, parsed=null — no perf record at all) by letting
+# every optional stage run unconditionally (~780s of staged compiles). Now:
+#   1. the core stages (defended q/s, latency, AUROC) print the parseable
+#      JSON line as soon as they finish (~230s cold);
+#   2. each optional stage declares an estimated cost and only starts if
+#      it fits the remaining budget; after each stage the cumulative JSON
+#      line is RE-printed (the driver parses the last JSON line, so even a
+#      kill mid-stage leaves the latest complete summary on stdout).
+T_START = time.time()
+BUDGET_S = float(os.environ.get("TVC_BENCH_BUDGET_S", "510"))
+
+
+def remaining_s():
+    return BUDGET_S - (time.time() - T_START)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(summary):
+    """(Re-)print the cumulative one-line JSON summary. Called after the
+    core stages and again after every optional stage — the last line wins
+    at the driver's parser, and an rc=124 kill can no longer erase the
+    record."""
+    print(json.dumps(summary), flush=True)
 
 
 def _probe_rtt(n=5):
@@ -576,7 +601,8 @@ def main():
         ).reshape(b, v + 1, -1)
         return _consistency_from(img, allf, bank)
 
-    defended_step = jax.jit(_defended_core)
+    defended_step = jax.jit(_defended_core)  # compiled lazily — only the
+    #                                          full-TVC stage dispatches it
 
     # Two-bucket text encode for the fixed-variant measurements: ~80% of
     # real caption/variant sequences fit 16 BPE tokens while the batch
@@ -613,17 +639,6 @@ def main():
             ).reshape(B, V + 1, -1)
             return _consistency_from(img, allf, bank)
 
-        defended_step_b = jax.jit(_defended_core_b)
-
-        def step_fixed(params, pixels, bank):
-            return defended_step_b(
-                params, pixels, short_tok, long_tok, inv_perm, bank
-            )
-    else:
-
-        def step_fixed(params, pixels, bank):
-            return defended_step(params, pixels, tokens, variant_tokens, bank)
-
     # Timing protocol for the axon tunnel: dispatches are async and
     # block_until_ready does NOT synchronize — only a device->host readback
     # does, and each dispatch+readback pays ~30ms tunnel RTT. So we chain K
@@ -636,50 +651,57 @@ def main():
     # left. (Round-1's number had exactly this bug: tokens/variants/bank
     # were loop-invariant, so the text encodes and the bank top-k were
     # hoisted and the 9.7k q/s headline measured the image path alone.)
+    #
+    # ONE program serves all core stages (round-3's separate single-step
+    # program cost a second ~100s axon compile and helped blow the driver
+    # window): the loop carry also holds the LAST iteration's per-row
+    # aggregate, so k=1 IS the single step on the given inputs (i=0 ⇒ the
+    # rolls are identity and px == pixels exactly) — used for latency
+    # percentiles and for scoring clean/adversarial batches.
     if bucket is not None:
 
         @jax.jit
         def defended_k(params, pixels, short_tok, long_tok, inv_perm, bank, k):
-            def body(i, acc):
+            def body(i, carry):
+                acc, _ = carry
                 px = pixels + i.astype(jnp.float32) * 1e-9
                 # roll WITHIN each bucket: short rows stay short (encode
                 # stays valid) and every stage depends on i
                 st = jnp.roll(short_tok, i, axis=0)
                 lt = jnp.roll(long_tok, i, axis=0)
                 agg, _ = _defended_core_b(params, px, st, lt, inv_perm, bank)
-                return acc + jnp.sum(agg)
+                return acc + jnp.sum(agg), agg
 
-            return jax.lax.fori_loop(0, k, body, 0.0)
+            init = (jnp.float32(0.0), jnp.zeros((pixels.shape[0],), jnp.float32))
+            return jax.lax.fori_loop(0, k, body, init)
 
-        def defended_k_call(k):
-            return defended_k(
-                params, pixels, short_tok, long_tok, inv_perm, bank, k
-            )
+        def run_chain(k, px=pixels):
+            """(acc, per-row agg of the last iteration); k=1 ⇒ one exact
+            defended step on ``px``."""
+            return defended_k(params, px, short_tok, long_tok, inv_perm, bank, k)
     else:
 
         @jax.jit
         def defended_k(params, pixels, tokens, variant_tokens, bank, k):
-            def body(i, acc):
+            def body(i, carry):
+                acc, _ = carry
                 px = pixels + i.astype(jnp.float32) * 1e-9
                 tok = jnp.roll(tokens, i, axis=0)
                 vtok = jnp.roll(variant_tokens, i, axis=0)
                 agg, flags = _defended_core(params, px, tok, vtok, bank)
-                return acc + jnp.sum(agg)
+                return acc + jnp.sum(agg), agg
 
-            return jax.lax.fori_loop(0, k, body, 0.0)
+            init = (jnp.float32(0.0), jnp.zeros((pixels.shape[0],), jnp.float32))
+            return jax.lax.fori_loop(0, k, body, init)
 
-        def defended_k_call(k):
-            return defended_k(params, pixels, tokens, variant_tokens, bank, k)
+        def run_chain(k, px=pixels):
+            return defended_k(params, px, tokens, variant_tokens, bank, k)
 
-    log("compiling defended step (single + K-chained)...")
+    log("compiling defended K-chain (single program, k traced)...")
     t0 = time.time()
-    agg, flags = step_fixed(params, pixels, bank)
+    _, agg = run_chain(1)
     _ = float(agg[0])
-    log(f"single-step compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    acc = defended_k_call(2)
-    _ = float(acc)
-    log(f"K-chained compile+run: {time.time() - t0:.1f}s")
+    log(f"K-chain compile+run: {time.time() - t0:.1f}s")
 
     # probe RTT AFTER the multi-minute compiles, right before the timing
     # loops that subtract it (RTT drifts; see _probe_rtt)
@@ -688,7 +710,7 @@ def main():
 
     def measure(k):
         t0 = time.time()
-        acc = defended_k_call(k)
+        acc, _ = run_chain(k)
         _ = float(acc)
         return time.time() - t0
 
@@ -709,37 +731,13 @@ def main():
         f"window {elapsed:.2f}s)"
     )
 
-    # round-1-comparable number: the old protocol only varied pixels per
-    # iteration, so XLA hoisted the text encodes + bank top-k out of the
-    # loop — effectively measuring the image path alone. Measured here so
-    # BENCH_r01's 9.7k q/s has an apples-to-apples successor.
-    @jax.jit
-    def defended_k_img_only(params, pixels, bank, k):
-        def body(i, acc):
-            px = pixels + i.astype(jnp.float32) * 1e-9
-            # tokens loop-invariant ON PURPOSE: XLA hoists the text
-            # encodes + top-k, reproducing the round-1 protocol bug
-            agg, _ = step_fixed(params, px, bank)
-            return acc + jnp.sum(agg)
-
-        return jax.lax.fori_loop(0, k, body, 0.0)
-
-    _ = float(defended_k_img_only(params, pixels, bank, 2))
-    t0 = time.time()
-    _ = float(defended_k_img_only(params, pixels, bank, n_chain))
-    img_only_elapsed = max(time.time() - t0 - rtt, 1e-9)
-    img_only_qps = B * n_chain / img_only_elapsed
-    log(
-        f"image-path-only throughput (round-1 protocol): {img_only_qps:.1f} q/s"
-    )
-
     # -- latency percentiles (reference README.md:897-898) -------------------
-    # per-batch latency distribution: repeated single-step dispatch+readback
-    # minus the tunnel RTT (absent on directly-attached hardware)
+    # per-batch latency distribution: repeated k=1 dispatch+readback minus
+    # the tunnel RTT (absent on directly-attached hardware)
     lat = []
     for _ in range(16):
         t0 = time.time()
-        agg, _ = step_fixed(params, pixels, bank)
+        _, agg = run_chain(1)
         _ = float(agg[0])
         lat.append(max(time.time() - t0 - rtt, 1e-9))
     lat_ms = np.asarray(lat) * 1e3
@@ -775,9 +773,9 @@ def main():
     jax.block_until_ready(adv)
     log(f"PGD done: {time.time() - t0:.1f}s")
 
-    clean_agg, _ = step_fixed(params, pixels, bank)
+    _, clean_agg = run_chain(1)
     adv_pixels = jnp.concatenate([adv, pixels[n_adv:]], axis=0)
-    adv_agg, _ = step_fixed(params, adv_pixels, bank)
+    _, adv_agg = run_chain(1, adv_pixels)
     labels = np.concatenate([np.zeros(n_adv), np.ones(n_adv)])
     scores = np.concatenate(
         [np.asarray(clean_agg[:n_adv]), np.asarray(adv_agg[:n_adv])]
@@ -809,7 +807,7 @@ def main():
             jax.block_until_ready(hub_adv)
             log(f"hubness done: {time.time() - t0:.1f}s")
             hub_pixels = jnp.concatenate([hub_adv, pixels[n_adv:]], axis=0)
-            hub_agg, _ = step_fixed(params, hub_pixels, bank)
+            _, hub_agg = run_chain(1, hub_pixels)
             # Hubness RAISES similarity (src/attacks/hubness_attack.py:482-498),
             # pushing the anomaly aggregate BELOW the clean band — the raw
             # one-sided aggregate is anti-correlated with the attack (AUROC→0).
@@ -829,11 +827,57 @@ def main():
         except Exception as e:
             log(f"hubness stage failed: {type(e).__name__}: {e}")
 
+    # -- CORE summary: printed NOW (round-3 lesson: the optional stages must
+    # never be able to erase the perf record). Re-printed cumulatively after
+    # each optional stage; the driver parses the last JSON line.
+    baseline_qps = 52.3  # reference, 6x RTX 4090 (BASELINE.md)
+    summary = {
+        "metric": "defended_queries_per_sec",
+        "value": round(float(qps), 2),
+        "unit": "queries/s",
+        "vs_baseline": round(float(qps) / baseline_qps, 3),
+        "auroc_pgd": round(float(auroc), 4),
+        **(
+            {"auroc_hubness": round(float(auroc_hub), 4)}
+            if auroc_hub is not None
+            else {}
+        ),
+        # steady-state full pipeline = config #1 rate (variants +
+        # SD references cached/bank-amortized, as the reference's
+        # md5 caches do)
+        "full_steady_qps": round(float(qps), 2),
+        "latency_p50_ms": round(p50, 2),
+        "latency_p99_ms": round(p99, 2),
+        "latency_per_query_p50_ms": round(p50 / B, 4),
+        "batch_size": B,
+        "bank_size": BANK_N,
+        "backend": backend,
+        "model": cfg.model_name,
+        "serving_precision": "int8-w8a8" if cfg.int8_serving else "bf16",
+        "core_elapsed_s": round(time.time() - T_START, 1),
+        "budget_s": BUDGET_S,
+    }
+    emit(summary)
+
+    def stage_fits(name, est_s):
+        """Budget gate: only start an optional stage if its estimated cost
+        fits the remaining wall-clock (estimates are round-3 measured COLD
+        costs — the persistent compile cache only makes them cheaper)."""
+        if small:
+            return False
+        rem = remaining_s()
+        if rem < est_s:
+            log(f"skipping {name}: est {est_s:.0f}s > remaining budget {rem:.0f}s")
+            summary.setdefault("stages_skipped", []).append(name)
+            return False
+        return True
+
     # -- config #4: full TVC with variant generation in the loop --------------
-    full = {}
-    if "--skip-qwen" not in sys.argv and not small:
+    # (before the legacy img-only number: the real workload stages own the
+    # budget priority)
+    if "--skip-qwen" not in sys.argv and stage_fits("qwen_full", 180):
         try:
-            full.update(
+            summary.update(
                 _qwen_full_stage(
                     model, defended_step, params, pixels, tokens,
                     variant_tokens, bank, texts,
@@ -841,9 +885,53 @@ def main():
             )
         except Exception as e:
             log(f"qwen full stage failed: {type(e).__name__}: {e}")
-            full["full_error"] = f"{type(e).__name__}: {e}"[:200]
+            summary["full_error"] = f"{type(e).__name__}: {e}"[:200]
             del e
             import gc; gc.collect()
+        emit(summary)
+
+    # -- round-1-comparable number: the old protocol only varied pixels per
+    # iteration, so XLA hoisted the text encodes + bank top-k out of the
+    # loop — effectively measuring the image path alone. Measured so
+    # BENCH_r01's 9.7k q/s has an apples-to-apples successor.
+    if stage_fits("image_path_only", 80):
+        if bucket is not None:
+
+            @jax.jit
+            def defended_k_img_only(params, pixels, bank, k):
+                def body(i, acc):
+                    px = pixels + i.astype(jnp.float32) * 1e-9
+                    # tokens loop-invariant ON PURPOSE: XLA hoists the text
+                    # encodes + top-k, reproducing the round-1 protocol bug
+                    agg, _ = _defended_core_b(
+                        params, px, short_tok, long_tok, inv_perm, bank
+                    )
+                    return acc + jnp.sum(agg)
+
+                return jax.lax.fori_loop(0, k, body, 0.0)
+        else:
+
+            @jax.jit
+            def defended_k_img_only(params, pixels, bank, k):
+                def body(i, acc):
+                    px = pixels + i.astype(jnp.float32) * 1e-9
+                    agg, _ = _defended_core(params, px, tokens, variant_tokens, bank)
+                    return acc + jnp.sum(agg)
+
+                return jax.lax.fori_loop(0, k, body, 0.0)
+
+        try:
+            _ = float(defended_k_img_only(params, pixels, bank, 2))
+            t0 = time.time()
+            _ = float(defended_k_img_only(params, pixels, bank, n_chain))
+            img_only_elapsed = max(time.time() - t0 - rtt, 1e-9)
+            img_only_qps = B * n_chain / img_only_elapsed
+            log(f"image-path-only throughput (round-1 protocol): {img_only_qps:.1f} q/s")
+            summary["image_path_only_qps"] = round(float(img_only_qps), 2)
+            defended_k_img_only.clear_cache()
+            emit(summary)
+        except Exception as e:
+            log(f"image-path-only stage failed: {type(e).__name__}: {e}")
 
     # -- config #4 at spec scale: Qwen2-7B paraphrase decode -------------------
     # First release every device buffer/executable the remaining stages
@@ -853,11 +941,10 @@ def main():
     # embed of generated images) and `texts`.
     if not small:
         del bank, pixels, variant_tokens, adv, adv_pixels, clean_agg, adv_agg
-        del agg, flags, txt_feats, scores
-        clearable = [defended_k, defended_k_img_only, defended_step, run]
+        del agg, txt_feats, scores
+        clearable = [defended_k, defended_step, run]
         if bucket is not None:
             del short_tok, long_tok, inv_perm
-            clearable.append(defended_step_b)
         if "hub_run" in locals():
             clearable.append(locals()["hub_run"])
         for f in clearable:
@@ -869,58 +956,27 @@ def main():
 
         gc.collect()
 
-    if "--skip-7b" not in sys.argv and "--skip-qwen" not in sys.argv and not small:
+    if "--skip-7b" not in sys.argv and "--skip-qwen" not in sys.argv and stage_fits("qwen7b", 100):
         try:
-            full.update(_qwen7b_stage())
+            summary.update(_qwen7b_stage())
         except Exception as e:
             log(f"qwen2-7b stage failed: {type(e).__name__}: {e}")
-            full["qwen7b_error"] = f"{type(e).__name__}: {e}"[:200]
+            summary["qwen7b_error"] = f"{type(e).__name__}: {e}"[:200]
             del e  # drop the traceback now: its frames pin device buffers
             import gc; gc.collect()
+        emit(summary)
 
     # -- config #5: SD genref amortized through the bank ----------------------
-    if "--skip-sd" not in sys.argv and not small:
+    if "--skip-sd" not in sys.argv and stage_fits("sd_genref", 210):
         try:
-            full.update(_sd_genref_stage(model, texts))
+            summary.update(_sd_genref_stage(model, texts))
         except Exception as e:
             log(f"sd genref stage failed: {type(e).__name__}: {e}")
-            full["sd_error"] = f"{type(e).__name__}: {e}"[:200]
+            summary["sd_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit(summary)
 
-    baseline_qps = 52.3  # reference, 6x RTX 4090 (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "defended_queries_per_sec",
-                "value": round(float(qps), 2),
-                "unit": "queries/s",
-                "vs_baseline": round(float(qps) / baseline_qps, 3),
-                "auroc_pgd": round(float(auroc), 4),
-                **(
-                    {"auroc_hubness": round(float(auroc_hub), 4)}
-                    if auroc_hub is not None
-                    else {}
-                ),
-                # round-1's 9.7k q/s was this quantity (loop hoisting left
-                # only the image path in the timing window); kept for an
-                # apples-to-apples round-over-round comparison
-                "image_path_only_qps": round(float(img_only_qps), 2),
-                # steady-state full pipeline = config #1 rate (variants +
-                # SD references cached/bank-amortized, as the reference's
-                # md5 caches do)
-                "full_steady_qps": round(float(qps), 2),
-                "latency_p50_ms": round(p50, 2),
-                "latency_p99_ms": round(p99, 2),
-                "latency_per_query_p50_ms": round(p50 / B, 4),
-                "batch_size": B,
-                "bank_size": BANK_N,
-                "backend": backend,
-                "model": cfg.model_name,
-                "serving_precision": "int8-w8a8" if cfg.int8_serving else "bf16",
-                **full,
-            }
-        ),
-        flush=True,
-    )
+    summary["elapsed_s"] = round(time.time() - T_START, 1)
+    emit(summary)
 
 
 if __name__ == "__main__":
