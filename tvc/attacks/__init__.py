@@ -3,6 +3,13 @@
 Re-export surface mirrors reference src/attacks/__init__.py:6-51.
 """
 
+from tvc.attacks.adaptive import (  # noqa: F401
+    AdaptiveAttackConfig,
+    AdaptiveAttacker,
+    DEFAULT_PENALTY_SWEEP,
+    create_adaptive_attacker,
+    run_adaptive_evaluation,
+)
 from tvc.attacks.common import (  # noqa: F401
     AttackResult,
     AttackStats,

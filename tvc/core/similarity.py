@@ -104,7 +104,12 @@ def masked_mean_std(
     ex2 = jnp.sum(jnp.square(x) * m, axis=axis) / count
     var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     mean = jnp.where(nonempty, mean, 0.0)
-    std = jnp.where(nonempty, jnp.sqrt(var), 0.0)
+    # double-where sqrt: d(sqrt)/dx at 0 is inf, and a plain where does NOT
+    # block the NaN from the untaken branch under jax.grad (the adaptive
+    # attacker differentiates THROUGH this std). Values are unchanged; the
+    # var==0 subgradient is 0.
+    pos = var > 0
+    std = jnp.where(pos & nonempty, jnp.sqrt(jnp.where(pos, var, 1.0)), 0.0)
     return mean, std
 
 

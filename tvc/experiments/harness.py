@@ -582,6 +582,60 @@ class ExperimentHarness:
             }
         }
 
+    def run_adaptive_attack(self) -> Dict[str, Any]:
+        """Defense-aware (adaptive) attacker evaluation — the only eval that
+        stresses TVC itself, and one the reference never ran: a white-box
+        PGD/hubness attacker adds a differentiable penalty keeping the TVC
+        aggregate inside the calibrated clean band, sweeping the penalty
+        weight λ (tvc/attacks/adaptive.py; reference scoring under attack:
+        src/detector.py:441-590). Detection is scored by the PRODUCTION
+        pipeline with fresh defender variants — the attacker's variant
+        sample is its own draw from the same augmenter."""
+        from tvc.attacks.adaptive import AdaptiveAttackConfig, run_adaptive_evaluation
+
+        pipe = self.make_pipeline()
+        clean_scores = pipe.process_batch(self.images, self.texts).scores
+        d = self.config.defense_overrides
+        V = int(d.get("num_text_variants", 5))
+        R = int(d.get("num_reference_images", 3))
+        variants = self.text_augmenter.batch_generate_variants(list(self.texts), V)
+        refs = np.asarray(
+            self.retriever.retrieve_reference_embeddings(list(self.texts), top_k=R)
+        )
+        fast = self.config.clip_model.startswith("tiny")
+        # fixture scaling matches _fs_config: the trained tiny CLIP needs
+        # eps=16/255 for the base attack to move at all
+        atk_cfg = AdaptiveAttackConfig(
+            epsilon=(16 / 255) if fast else (8 / 255),
+            alpha=(2 / 255) if fast else (1 / 255),
+            num_steps=100,
+        )
+        pool = self._hubness_query_pool() or list(self.texts)
+        # hubness success criterion: the hub must actually WIN queries
+        # against a gallery — the clean eval images are the gallery
+        gallery = np.asarray(self.model.encode_image(self.images))
+        out: Dict[str, Any] = {}
+        for base in self.config.attacks:
+            if base not in ("pgd", "hubness"):
+                continue
+            out[base] = run_adaptive_evaluation(
+                self.model,
+                pipe.detector,
+                self.images,
+                self.texts,
+                variants,
+                refs,
+                clean_scores,
+                base=base,
+                query_pool=pool,
+                attack_config=atk_cfg,
+                score_batch=lambda adv: pipe.process_batch(
+                    adv, list(self.texts)
+                ).scores,
+                gallery_feats=gallery,
+            )
+        return {"adaptive_attack": out}
+
     def run_comprehensive(self) -> Dict[str, Any]:
         out = {}
         out.update({"four_scenarios": self.run_four_scenarios()})
@@ -600,6 +654,7 @@ class ExperimentHarness:
         "efficiency_analysis": run_efficiency_analysis,
         "retrieval_quality": run_retrieval_quality,
         "cross_dataset": run_cross_dataset,
+        "adaptive_attack": run_adaptive_attack,
         "comprehensive": run_comprehensive,
     }
 
