@@ -240,6 +240,106 @@ def test_serving_step_mesh_fused_int8_matches_single_device(mesh):
     )
 
 
+def test_serving_step_mesh_pallas_kernel_parity(mesh, model, monkeypatch):
+    """Round-3 VERDICT item 5: the fused Pallas consistency kernel runs
+    per-device under shard_map on the mesh (interpret mode on the CPU
+    mesh) — NOT the jnp fallback — and its outputs match the single-device
+    jnp oracle."""
+    import tvc.parallel.steps as steps_mod
+    from tvc.parallel.steps import make_serving_step
+
+    cfg = model.config
+    rng = np.random.default_rng(11)
+    B, V, k, rows = 8, 2, 3, 32
+    bank = rng.normal(size=(rows, cfg.embed_dim)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    pixels = rng.random((B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    tokens = np.asarray(model.tokenize([f"query {i}" for i in range(B)]))
+    vtok = np.stack(
+        [np.asarray(model.tokenize([f"v{j} q{i}" for j in range(V)])) for i in range(B)]
+    )
+    vmask = np.ones((B, V), bool)
+    valid = np.ones((rows,), bool)
+    weights = np.asarray([0.4, 0.4, 0.2], np.float32)
+    lo, hi = np.float32(0.05), np.float32(0.6)
+
+    calls = []
+    orig_fn = steps_mod.fused_consistency_scores
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig_fn(*a, **kw)
+
+    monkeypatch.setattr(steps_mod, "fused_consistency_scores", counting)
+    sharded = make_serving_step(model, mesh=mesh, top_k=k, use_kernel=True)
+    assert sharded._use_kernel
+    b = sharded(
+        model.params, jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(vtok),
+        jnp.asarray(vmask), jnp.asarray(bank), jnp.asarray(valid),
+        jnp.asarray(weights), lo, hi,
+    )
+    assert calls, "Pallas kernel was not traced into the mesh program"
+
+    single = make_serving_step(model, mesh=None, top_k=k, use_kernel=False)
+    a = single(model.params, pixels, tokens, vtok, vmask, bank, valid, weights, lo, hi)
+    np.testing.assert_array_equal(np.asarray(a["ref_idx"]), np.asarray(b["ref_idx"]))
+    np.testing.assert_allclose(
+        np.asarray(a["aggregated"]), np.asarray(b["aggregated"]), atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["is_adversarial"]), np.asarray(b["is_adversarial"])
+    )
+
+
+def test_serving_step_mesh_bucketed_matches_plain(mesh, model):
+    """Mesh serve() routes host token batches through the PER-SHARD
+    two-bucket text program (bucket_text_tokens_sharded: local inv
+    indices, no cross-device gather) — round-3 VERDICT item 5's second
+    half. Results must equal the plain mesh program exactly."""
+    from tvc.parallel.steps import make_serving_step
+
+    cfg = model.config
+    rng = np.random.default_rng(13)
+    B, V, k, rows = 128, 3, 4, 64  # S=512, dp=4 -> 128 rows/shard
+    bank = rng.normal(size=(rows, cfg.embed_dim)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    pixels = rng.random((B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    texts = [
+        f"q {i}" if i % 4 else f"much longer query sentence number {i} indeed"
+        for i in range(B)
+    ]
+    tokens = np.asarray(model.tokenize(texts))
+    vtok = np.zeros((B, V, tokens.shape[1]), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for i in range(B):
+        n = 1 + i % V
+        vt = np.asarray(model.tokenize([f"v{j} {texts[i]}" for j in range(n)]))
+        vtok[i, :n, : vt.shape[1]] = vt
+        vmask[i, :n] = True
+    valid = np.ones((rows,), bool)
+    weights = np.asarray([0.4, 0.4, 0.2], np.float32)
+    lo, hi = np.float32(0.05), np.float32(0.6)
+
+    serve = make_serving_step(model, mesh=mesh, top_k=k, bucket_short_len=8)
+    # numpy inputs -> per-shard host bucketing fires
+    a = serve(model.params, pixels, tokens, vtok, vmask, bank, valid, weights, lo, hi)
+    assert serve._jitted._cache_size() == 0, "plain mesh program should be unused"
+    # device inputs -> plain single-bucket mesh program
+    b = serve(
+        model.params, jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(vtok),
+        jnp.asarray(vmask), jnp.asarray(bank), jnp.asarray(valid),
+        jnp.asarray(weights), lo, hi,
+    )
+    assert serve._jitted._cache_size() == 1
+    np.testing.assert_array_equal(np.asarray(a["ref_idx"]), np.asarray(b["ref_idx"]))
+    np.testing.assert_allclose(
+        np.asarray(a["aggregated"]), np.asarray(b["aggregated"]), atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["is_adversarial"]), np.asarray(b["is_adversarial"])
+    )
+
+
 def test_serving_step_bucketed_matches_plain(model):
     """Single-chip serve() routes host token batches through the
     two-bucket text program when the length split pays; results must be

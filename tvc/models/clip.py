@@ -758,6 +758,59 @@ def bucket_text_tokens(
     }
 
 
+def bucket_text_tokens_sharded(
+    tokens: np.ndarray,
+    n_shards: int,
+    short_len: int = 16,
+    capacity_quantum: int = 64,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Per-shard two-bucket partition for MESH serving
+    (tvc/parallel/steps.make_serving_step's bucketed program under
+    shard_map).
+
+    ``tokens`` [S, T] flattens a batch-sharded [B, V+1, T] block b-major,
+    so shard k of a ``data``-axis sharding owns the contiguous rows
+    [k*g, (k+1)*g), g = S/n_shards. Each shard partitions its own rows
+    like :func:`bucket_text_tokens`, but every shard uses ONE shared
+    (short, long) capacity so the stacked arrays stay SPMD-uniform:
+    ``n_short`` = the min over shards of per-shard short counts, quantized
+    to ``capacity_quantum`` (a shard's surplus short rows overflow into
+    its full-T long bucket — always valid). ``inv`` holds LOCAL indices
+    (0..n_short+n_long) so the feature gather never crosses devices.
+
+    Returns ``short`` [n_shards*n_short, short_len], ``long``
+    [n_shards*n_long, T], ``inv`` [S] int32, or None when bucketing cannot
+    help (T <= short_len, rows not shardable, or too few short rows)."""
+    S, T = tokens.shape
+    if T <= short_len or n_shards < 1 or S % n_shards != 0:
+        return None
+    g = S // n_shards
+    lens = tokens.argmax(-1) + 1
+    nonzero = tokens != 0
+    content = np.where(nonzero.any(axis=-1), T - nonzero[:, ::-1].argmax(-1), 0)
+    lens = np.maximum(lens, content)
+    per_shard = lens.reshape(n_shards, g)
+    n_short_each = (per_shard <= short_len).sum(axis=1)
+    n_short = (int(n_short_each.min()) // capacity_quantum) * capacity_quantum
+    if n_short < capacity_quantum or n_short >= g:
+        return None
+    n_long = g - n_short
+    shorts, longs, invs = [], [], []
+    for k in range(n_shards):
+        order = np.argsort(per_shard[k], kind="stable")
+        rows = tokens[k * g : (k + 1) * g]
+        inv = np.empty(g, dtype=np.int32)
+        inv[order] = np.arange(g, dtype=np.int32)
+        shorts.append(rows[order[:n_short], :short_len])
+        longs.append(rows[order[n_short:], :])
+        invs.append(inv)
+    return {
+        "short": np.ascontiguousarray(np.concatenate(shorts)),
+        "long": np.ascontiguousarray(np.concatenate(longs)),
+        "inv": np.concatenate(invs),
+    }
+
+
 # ---------------------------------------------------------------------------
 # user-facing wrapper (the reference's implied CLIPModel API)
 # ---------------------------------------------------------------------------
