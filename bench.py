@@ -615,7 +615,14 @@ def main():
     all_tok_np = np.concatenate(
         [np.asarray(tokens)[:, None, :], np.asarray(variant_tokens)], axis=1
     ).reshape(B * (V + 1), T_b)
-    bucket = bucket_text_tokens(all_tok_np, short_len=16) if not small else None
+    # dedup=True: each DISTINCT token row encodes once (variant batches
+    # repeat rows — the augmenter pads shortfalls with the original; 6.7%
+    # exact dups measured on this very caption set at V=6)
+    bucket = (
+        bucket_text_tokens(all_tok_np, short_len=16, dedup=True)
+        if not small
+        else None
+    )
     if bucket is not None:
         short_tok = jnp.asarray(bucket["short"])
         long_tok = jnp.asarray(bucket["long"])

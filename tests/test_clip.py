@@ -171,6 +171,55 @@ def test_bucketed_text_features_exact(clip):
     np.testing.assert_allclose(bucketed, plain, atol=2e-5, rtol=2e-5)
 
 
+def test_bucketed_text_features_dedup_exact(clip):
+    """dedup=True: duplicate token rows encode once, the inverse gather
+    restores per-row features exactly, and the plan never costs more
+    encoded tokens than the raw partition (cost-based selection)."""
+    from tvc.models.clip import bucket_text_tokens
+
+    rng = np.random.default_rng(3)
+    base, T = 24, 16
+    eot = clip.config.vocab_size - 1
+    uniq = np.zeros((base, T), np.int32)
+    for i in range(base):
+        n = int(rng.integers(2, T if i % 3 else 7))
+        uniq[i, : n - 1] = rng.integers(1, eot - 1, size=n - 1)
+        uniq[i, n - 1] = eot
+    # heavy duplication: each unique row appears ~4x (the augmenter's
+    # pad-with-original pattern at small V)
+    idx = rng.integers(0, base, size=96)
+    tokens = uniq[idx]
+    plain_plan = bucket_text_tokens(tokens, short_len=8, capacity_quantum=16)
+    dedup_plan = bucket_text_tokens(
+        tokens, short_len=8, capacity_quantum=16, dedup=True
+    )
+    assert dedup_plan is not None
+    n_rows = lambda p: p["short"].shape[0] + p["long"].shape[0]
+    assert n_rows(dedup_plan) < n_rows(plain_plan)  # dups actually elided
+    cost = lambda p: p["short"].size + p["long"].shape[0] * T
+    assert cost(dedup_plan) <= cost(plain_plan)
+
+    params = clip.params
+    plain = np.asarray(clip.infer_text_features(params, jnp.asarray(tokens)))
+    bucketed = np.asarray(
+        clip.infer_text_features_bucketed(
+            params,
+            jnp.asarray(dedup_plan["short"]),
+            jnp.asarray(dedup_plan["long"]),
+            jnp.asarray(dedup_plan["inv"]),
+        )
+    )
+    np.testing.assert_allclose(bucketed, plain, atol=2e-5, rtol=2e-5)
+
+    # low-duplicate batch: the cost comparison must never pick a dedup
+    # plan that encodes MORE tokens than the raw partition
+    tokens2 = np.concatenate([uniq, uniq[:8]])  # 25% dups of 32 rows
+    raw2 = bucket_text_tokens(tokens2, short_len=8, capacity_quantum=16)
+    ded2 = bucket_text_tokens(tokens2, short_len=8, capacity_quantum=16, dedup=True)
+    if raw2 is not None and ded2 is not None:
+        assert cost(ded2) <= cost(raw2)
+
+
 def test_bucket_text_tokens_degenerate():
     from tvc.models.clip import bucket_text_tokens
 

@@ -71,8 +71,23 @@ class FourScenariosConfig:
     #: well-trained model because the paired image always outranks the hub.
     #: Empty tuple → falls back to the eval texts.
     hubness_query_pool: Sequence[str] = ()
+    #: de-saturation sweep (round-3 VERDICT item 3): per gradient attack,
+    #: re-run at each ε and report AUROC + the full ROC curve. At the
+    #: headline fixture scaling the detector saturates (AUROC 1.0 on most
+    #: rows) and config differences are invisible at the ceiling; low-ε
+    #: rows keep discriminating. Empty tuple disables the sweep.
+    sweep_epsilons: Sequence[float] = (2 / 255, 4 / 255, 8 / 255, 16 / 255)
     output_dir: str = "./results/four_scenarios"
     save_results: bool = True
+    #: stage checkpoint/resume (round-3 VERDICT item 10 — the fault
+    #: tolerance the reference only declares in YAML,
+    #: configs/experiments/coco_pgd_full.yaml:198-214). When set, each
+    #: completed attack generation / sweep row snapshots to
+    #: <checkpoint_dir>/<run fingerprint>/ and a re-run with ``resume``
+    #: skips completed stages. The fingerprint hashes config + data, so a
+    #: changed experiment never resumes stale state.
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
 
 
 class FourScenariosExperiment:
@@ -152,6 +167,61 @@ class FourScenariosExperiment:
 
             return SMAAttacker(self.model, self._attack_cfg(SMAAttackConfig, name))
         raise ValueError(f"unknown attack {name!r}")
+
+    # -- stage checkpoint/resume -------------------------------------------------
+    def _stage_checkpointer(self, images, texts):
+        """StageCheckpointer keyed by a fingerprint of (config, data) —
+        None when checkpointing is off. See FourScenariosConfig.checkpoint_dir."""
+        if not self.config.checkpoint_dir:
+            return None
+        import hashlib
+
+        from tvc.utils.checkpoint import StageCheckpointer
+
+        h = hashlib.md5()
+        arr = np.ascontiguousarray(np.asarray(images, dtype=np.float32))
+        h.update(arr.tobytes()[: 1 << 22])
+        h.update("\x00".join(texts).encode())
+        cfg = dataclasses.asdict(self.config)
+        for k in ("output_dir", "save_results", "checkpoint_dir", "resume"):
+            cfg.pop(k, None)
+        h.update(json.dumps(cfg, sort_keys=True, default=str).encode())
+        return StageCheckpointer(self.config.checkpoint_dir, h.hexdigest())
+
+    def _generate_adversarial_resumable(self, images, texts, attack: str, ck):
+        """generate_adversarial with a per-attack stage snapshot: a killed
+        run resumes past every attack that already completed (attack
+        generation dominates the experiment's wall clock)."""
+        stage = f"adv_{attack}"
+        if ck is not None and self.config.resume and ck.has(stage):
+            from tvc.attacks.common import AttackResult
+
+            arrays, _ = ck.load(stage)
+            info = {}
+            if "hubness_scores" in arrays:
+                info["hubness_scores"] = arrays["hubness_scores"]
+            return AttackResult(
+                adv_images=arrays["adv_images"],
+                success=arrays["success"].astype(bool),
+                final_similarity=arrays["final_similarity"],
+                perturbation_linf=arrays["perturbation_linf"],
+                perturbation_l2=arrays["perturbation_l2"],
+                info=info,
+            )
+        res = self.generate_adversarial(images, texts, attack)
+        if ck is not None:
+            arrays = dict(
+                adv_images=res.adv_images,
+                success=res.success,
+                final_similarity=res.final_similarity,
+                perturbation_linf=res.perturbation_linf,
+                perturbation_l2=res.perturbation_l2,
+            )
+            hub = res.info.get("hubness_scores") if res.info else None
+            if hub is not None:
+                arrays["hubness_scores"] = hub
+            ck.save(stage, arrays=arrays)
+        return res
 
     def generate_adversarial(
         self, images: np.ndarray, texts: Sequence[str], attack: str
@@ -341,20 +411,96 @@ class FourScenariosExperiment:
             }
         return out
 
+    #: attacks the ε sweep applies to (gradient attacks with an ``epsilon``
+    #: L∞ budget; hubness has its own scale and C&W is L2)
+    SWEEP_ATTACKS = ("pgd", "fgsm")
+
+    def epsilon_sweep(
+        self, images, texts, clean_scores: np.ndarray, ck=None
+    ) -> Dict[str, Any]:
+        """Per-ε detection quality with FULL ROC curves (round-3 VERDICT
+        item 3). The headline artifact rows stay at the strong fixture
+        scaling as a regression floor; this table shows where detection
+        actually degrades — low-ε PGD must read AUROC < 1.0 for the
+        benchmark to discriminate between detector variants."""
+        eps_list = tuple(self.config.sweep_epsilons)
+        attacks = [a for a in self.config.attacks if a in self.SWEEP_ATTACKS]
+        if not eps_list or not attacks:
+            return {}
+        clean_det = self._detection_scores(clean_scores, clean_scores)
+        n = len(texts)
+        labels = np.concatenate([np.zeros(n), np.ones(n)])
+        tfeat = np.asarray(self.model.encode_text(list(texts)))
+        out: Dict[str, Any] = {}
+        for name in attacks:
+            rows = {}
+            saved = self.config.attack_overrides.get(name)
+            for eps in eps_list:
+                stage = f"sweep_{name}_{float(eps) * 255:.0f}"
+                if ck is not None and self.config.resume and ck.has(stage):
+                    _, meta = ck.load(stage)
+                    if meta is not None:
+                        rows[f"{float(eps) * 255:.0f}/255"] = meta
+                        continue
+                ov = dict(saved or {})
+                ov["epsilon"] = float(eps)
+                if name == "pgd":
+                    # keep the step/budget ratio of the headline config
+                    ov.setdefault("alpha", max(float(eps) / 4.0, 0.5 / 255))
+                self.config.attack_overrides[name] = ov
+                try:
+                    res = self.generate_adversarial(images, texts, name)
+                finally:
+                    if saved is None:
+                        self.config.attack_overrides.pop(name, None)
+                    else:
+                        self.config.attack_overrides[name] = saved
+                pr = self.pipeline.process_batch(res.adv_images, list(texts))
+                det = self._detection_scores(pr.scores, clean_scores)
+                scores = np.concatenate([clean_det, det])
+                fpr, tpr, _ = DetectionEvaluator.roc_curve(labels, scores)
+                # downsample the curve to <=32 points for the artifact
+                step = max(1, len(fpr) // 32)
+                afeat = np.asarray(self.model.encode_image(res.adv_images))
+                sims = np.sum(afeat * tfeat, axis=-1)
+                row = {
+                    "epsilon": float(eps),
+                    "auroc": float(DetectionEvaluator.auroc(labels, scores)),
+                    "detection_rate": float(pr.is_adversarial.mean()),
+                    "attack_success_similarity": float(
+                        np.mean(sims < UNTARGETED_SUCCESS_SIM)
+                    ),
+                    "attack_success_retrieval": 1.0
+                    - self._retrieval_accuracy(res.adv_images, texts),
+                    "mean_adv_score": float(pr.scores.mean()),
+                    "roc_curve": {
+                        "fpr": [float(x) for x in fpr[::step]],
+                        "tpr": [float(x) for x in tpr[::step]],
+                    },
+                }
+                rows[f"{float(eps) * 255:.0f}/255"] = row
+                if ck is not None:
+                    ck.save(stage, meta=row)
+            out[name] = rows
+        return out
+
     # -- driver -------------------------------------------------------------------
     def run(self, images: np.ndarray, texts: Sequence[str]) -> Dict[str, Any]:
         n = min(self.config.num_samples, len(texts))
         images, texts = images[:n], list(texts[:n])
         t_start = time.time()
 
+        ck = self._stage_checkpointer(images, texts)
         adv_results = {
-            a: self.generate_adversarial(images, texts, a)
+            a: self._generate_adversarial_resumable(images, texts, a, ck)
             for a in self.config.attacks
         }
         adv_images = {a: r.adv_images for a, r in adv_results.items()}
         calibrated_threshold = None
+        clean_scores_arr = None
         if self.config.calibrate_threshold and hasattr(self.pipeline, "detector"):
             clean_scores = self.pipeline.process_batch(images, texts).scores
+            clean_scores_arr = clean_scores
             adv_scores = self.pipeline.process_batch(
                 adv_images[self.config.attacks[0]], texts
             ).scores
@@ -384,6 +530,14 @@ class FourScenariosExperiment:
         s2 = self.scenario_2_clean_no_defense(images, texts)
         s3 = self.scenario_3_clean_with_defense(images, texts, s2["baseline_time"])
         s4 = self.scenario_4_attack_with_defense(images, texts, adv_images)
+        sweep = {}
+        if self.config.sweep_epsilons:
+            cs = (
+                clean_scores_arr
+                if clean_scores_arr is not None
+                else self.pipeline.process_batch(images, texts).scores
+            )
+            sweep = self.epsilon_sweep(images, texts, cs, ck=ck)
 
         # layout parity with the reference's committed artifact
         # (results/comprehensive_defense_evaluation/four_scenarios_*.json:
@@ -432,6 +586,10 @@ class FourScenariosExperiment:
                     **s4,
                 },
             },
+            # de-saturated quality table: per-ε AUROC + ROC curves (the
+            # headline rows above stay at the strong scaling as a
+            # regression floor)
+            "epsilon_sweep": sweep,
             # back-compat flat keys (tvc-native consumers)
             "scenario_1_no_defense_with_attack": s1,
             "scenario_2_no_defense_no_attack": s2,
@@ -526,17 +684,29 @@ def measure_serving_overhead(
     from tvc.data.loaders import load_coco_captions
 
     texts = [c for _, c in load_coco_captions()[:B]]
-    tokens = np.asarray(model.tokenize(texts))
-    real_len = int(tokens.argmax(-1).max() + 1)
-    t_b = min(((real_len + 7) // 8) * 8, tokens.shape[-1])
-    tokens = jnp.asarray(tokens[:, :t_b])
-    # variants tiled from the originals: FLOP/bytes-identical to real
-    # host-strategy variants (same [B, V, T] text-tower batch), which is
-    # all a TIMING measurement needs
-    variant_tokens = jnp.tile(tokens[:, None, :], (1, V, 1))
+    tokens_full = np.asarray(model.tokenize(texts))
+    # REAL host-strategy variants (synonym/syntax/template on the actual
+    # captions): the serving path's dedup + bucketing wins depend on the
+    # true duplicate/length mix — tiled-original placeholder variants
+    # would let dedup collapse the whole batch and flatter the number
+    from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
+
+    _aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_paraphrase_generation=False, enable_back_translation=False
+        )
+    )
+    _variants = [((_aug.generate_variants(t, V) or [t]) * V)[:V] for t in texts]
+    vtok_full = np.stack([np.asarray(model.tokenize(vs)) for vs in _variants])
+    real_len = int(
+        max(tokens_full.argmax(-1).max(), vtok_full.argmax(-1).max()) + 1
+    )
+    t_b = min(((real_len + 7) // 8) * 8, tokens_full.shape[-1])
+    tokens = jnp.asarray(tokens_full[:, :t_b])
+    variant_tokens = jnp.asarray(vtok_full[:, :, :t_b])
     bank = l2_normalize(jax.random.normal(k2, (bank_size, D)))
 
-    # two-bucket text encode, exactly as the shipped serving step
+    # two-bucket + dedup text encode, exactly as the shipped serving step
     # (tvc/parallel/steps.make_serving_step) buckets host token batches;
     # buckets are fixed host-side so the chained fori_loop protocol can
     # roll WITHIN them (tokens rolled across buckets would mix lengths)
@@ -545,7 +715,7 @@ def measure_serving_overhead(
     all_tok_np = np.concatenate(
         [np.asarray(tokens)[:, None, :], np.asarray(variant_tokens)], axis=1
     ).reshape(B * (V + 1), t_b)
-    _bucket = bucket_text_tokens(all_tok_np, short_len=16)
+    _bucket = bucket_text_tokens(all_tok_np, short_len=16, dedup=True)
 
     def _text_feats(params, tokens, variant_tokens, st, lt, inv):
         if _bucket is not None:

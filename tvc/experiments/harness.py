@@ -103,6 +103,11 @@ class HarnessConfig:
     )
     #: defense parameters (YAML defense: section, flattened)
     defense_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    #: stage checkpoint/resume for four_scenarios (VERDICT r3 item 10).
+    #: checkpoint_dir defaults to <output_dir>/checkpoints when resume or
+    #: checkpointing is requested via --resume.
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
 
 
 class ExperimentHarness:
@@ -288,9 +293,14 @@ class ExperimentHarness:
             ),
             **ao.get("hubness", {}),
         }
+        ckpt_dir = self.config.checkpoint_dir
+        if ckpt_dir is None and self.config.resume:
+            ckpt_dir = str(Path(self.config.output_dir) / "checkpoints")
         return FourScenariosConfig(
             attacks=tuple(self.config.attacks),
             num_samples=self.config.num_samples,
+            checkpoint_dir=ckpt_dir,
+            resume=self.config.resume,
             attack_overrides=ao,
             pgd=PGDAttackConfig(
                 **{
@@ -803,6 +813,14 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> HarnessConfig:
     p.add_argument("--output-dir", dest="output_dir")
     p.add_argument("--seed", type=int)
     p.add_argument("--config", dest="config_path")
+    p.add_argument("--checkpoint-dir", dest="checkpoint_dir")
+    p.add_argument(
+        "--resume",
+        dest="resume",
+        action="store_true",
+        help="resume four_scenarios from stage checkpoints "
+        "(default dir: <output_dir>/checkpoints)",
+    )
     ns = vars(p.parse_args(argv))
 
     cfg = HarnessConfig()

@@ -712,6 +712,7 @@ def bucket_text_tokens(
     tokens: np.ndarray,
     short_len: int = 16,
     capacity_quantum: int = 256,
+    dedup: bool = False,
 ) -> Optional[Dict[str, np.ndarray]]:
     """Host-side two-bucket partition of a padded token batch [S, T] for
     :meth:`CLIPModel.infer_text_features_bucketed`.
@@ -726,35 +727,80 @@ def bucket_text_tokens(
     short rows. The stable sort keeps equal-length rows in input order so
     the partition is deterministic.
 
-    Output dict: ``short`` [C, short_len], ``long`` [S-C, T], ``inv``
+    ``dedup=True`` additionally considers encoding each DISTINCT token row
+    once: a variant batch flattens originals + V variants per query, and
+    the augmenter pads shortfalls by repeating texts (serving measured ~7%
+    exact-duplicate rows on real COCO captions at V=6, and far more when
+    strategies under-produce), so duplicate rows are wasted text-tower
+    FLOPs. Because bucket capacities quantize (the dedup'd long bucket
+    zero-pads UP to a ``capacity_quantum`` multiple for compiled-shape
+    stability), dedup can LOSE to the raw partition at low duplicate rates
+    — both plans are costed as encoded-token counts and the cheaper one is
+    returned, so dedup is a strict non-loss. Exact either way — deduping
+    reorders/elides identical encodes only; pad rows are never referenced
+    by ``inv``.
+
+    Output dict: ``short`` [C, short_len], ``long`` [L, T], ``inv``
     [S] int32 — ``concat(feats_short, feats_long)[inv]`` restores the
     input row order.
     """
     S, T = tokens.shape
     if T <= short_len or S < 2 * capacity_quantum:
         return None
-    lens = tokens.argmax(-1) + 1
-    # safety net: argmax-EOT undercounts rows whose EOT fell out of the
-    # window (malformed input) — such a row must NOT be sliced to
-    # short_len. Right-pad is id 0 for the CLIP tokenizers; for any
-    # tokenizer padding with a nonzero id this makes every row "long"
-    # and the function just declines to bucket (correct, no win).
-    nonzero = tokens != 0
-    content = np.where(
-        nonzero.any(axis=-1), T - nonzero[:, ::-1].argmax(-1), 0
-    )
-    lens = np.maximum(lens, content)
-    n_short = int((lens <= short_len).sum())
-    C = (n_short // capacity_quantum) * capacity_quantum
-    if C < capacity_quantum or C >= S:
+
+    def _plan(rows, pad_long_to_quantum):
+        U = rows.shape[0]
+        lens = rows.argmax(-1) + 1
+        # safety net: argmax-EOT undercounts rows whose EOT fell out of the
+        # window (malformed input) — such a row must NOT be sliced to
+        # short_len. Right-pad is id 0 for the CLIP tokenizers; for any
+        # tokenizer padding with a nonzero id this makes every row "long"
+        # and the function just declines to bucket (correct, no win).
+        nonzero = rows != 0
+        content = np.where(
+            nonzero.any(axis=-1), T - nonzero[:, ::-1].argmax(-1), 0
+        )
+        lens = np.maximum(lens, content)
+        n_short = int((lens <= short_len).sum())
+        C = (n_short // capacity_quantum) * capacity_quantum
+        if C < capacity_quantum or C >= U:
+            return None
+        order = np.argsort(lens, kind="stable")
+        pos = np.empty(U, dtype=np.int32)
+        pos[order] = np.arange(U, dtype=np.int32)
+        long_rows = rows[order[C:], :]
+        if pad_long_to_quantum:
+            L = -(-(U - C) // capacity_quantum) * capacity_quantum
+            if L > U - C:
+                long_rows = np.concatenate(
+                    [long_rows, np.zeros((L - (U - C), T), dtype=rows.dtype)]
+                )
+        return {
+            "short": np.ascontiguousarray(rows[order[:C], :short_len]),
+            "long": np.ascontiguousarray(long_rows),
+            "pos": pos,
+        }
+
+    def _cost(plan):
+        # encoded-token count ~ text-tower FLOPs (both buckets run the
+        # same per-token work)
+        return plan["short"].size + plan["long"].shape[0] * T
+
+    raw = _plan(tokens, pad_long_to_quantum=False)
+    best, inv_u = raw, None
+    if dedup:
+        uniq, iu = np.unique(tokens, axis=0, return_inverse=True)
+        if uniq.shape[0] < S:
+            dp = _plan(uniq, pad_long_to_quantum=True)
+            if dp is not None and (raw is None or _cost(dp) < _cost(raw)):
+                best, inv_u = dp, iu.astype(np.int32)
+    if best is None:
         return None
-    order = np.argsort(lens, kind="stable")
-    inv = np.empty(S, dtype=np.int32)
-    inv[order] = np.arange(S, dtype=np.int32)
+    inv = best["pos"] if inv_u is None else best["pos"][inv_u]
     return {
-        "short": np.ascontiguousarray(tokens[order[:C], :short_len]),
-        "long": np.ascontiguousarray(tokens[order[C:], :]),
-        "inv": inv,
+        "short": best["short"],
+        "long": best["long"],
+        "inv": np.ascontiguousarray(inv.astype(np.int32)),
     }
 
 

@@ -403,7 +403,12 @@ def make_serving_step(
                 [tokens[:, None, :], variant_tokens], axis=1
             ).reshape(B * (V + 1), T)
             if mesh is None:
-                bucket = bucket_text_tokens(all_tok, short_len=bucket_short_len)
+                # dedup: variant batches repeat token rows (augmenter pads
+                # shortfalls with the original; ~7% exact dups measured at
+                # V=6 on COCO) — encode each distinct row once
+                bucket = bucket_text_tokens(
+                    all_tok, short_len=bucket_short_len, dedup=True
+                )
             else:
                 bucket = bucket_text_tokens_sharded(
                     all_tok,

@@ -88,3 +88,67 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         p = self._step_dir(step) / "metadata.json"
         return json.loads(p.read_text()) if p.exists() else {}
+
+
+class StageCheckpointer:
+    """Resumable stage snapshots for long experiment runs.
+
+    This implements the fault tolerance the reference only DECLARES in
+    config (reference configs/experiments/coco_pgd_full.yaml:198-214:
+    checkpointing + auto_resume keys with no implementation anywhere in
+    its code). Each completed stage saves one npz (+ optional JSON
+    payload) under ``directory/<fingerprint>/``; a resumed run with the
+    same fingerprint (config + data hash) skips completed stages and a
+    changed fingerprint naturally starts fresh — stale snapshots can never
+    leak into a different experiment.
+    """
+
+    def __init__(self, directory: str, fingerprint: str):
+        self.dir = Path(directory) / fingerprint
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _paths(self, stage: str):
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", stage)
+        return self.dir / f"{safe}.npz", self.dir / f"{safe}.json"
+
+    def has(self, stage: str) -> bool:
+        npz, js = self._paths(stage)
+        return npz.exists() or js.exists()
+
+    def save(
+        self,
+        stage: str,
+        arrays: Optional[Dict[str, Any]] = None,
+        meta: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        import numpy as np
+
+        npz, js = self._paths(stage)
+        if arrays:
+            # tmp name must keep the .npz suffix — np.savez appends one
+            # to anything else, breaking the rename
+            tmp = npz.with_name(npz.stem + ".tmp.npz")
+            np.savez_compressed(
+                tmp, **{k: np.asarray(v) for k, v in arrays.items() if v is not None}
+            )
+            tmp.replace(npz)  # atomic: a kill mid-write never leaves a
+            #                   half-snapshot that a resume would trust
+        if meta is not None:
+            tmpj = js.with_suffix(".json.tmp")
+            tmpj.write_text(json.dumps(meta, default=float))
+            tmpj.replace(js)
+
+    def load(self, stage: str):
+        """Returns (arrays dict or {}, meta dict or None)."""
+        import numpy as np
+
+        npz, js = self._paths(stage)
+        arrays = {}
+        if npz.exists():
+            with np.load(npz, allow_pickle=False) as z:
+                arrays = {k: z[k] for k in z.files}
+        meta = json.loads(js.read_text()) if js.exists() else None
+        return arrays, meta
+
+    def clear(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)
