@@ -41,3 +41,60 @@ def test_multihost_helpers():
     n = initialize_multihost()  # single-process no-op
     assert n == 8
     assert host_local_batch(64) == 64  # one host -> identity
+
+
+def test_initialize_multihost_two_process(tmp_path):
+    """Real 2-process ``jax.distributed`` bring-up on CPU (round-3 VERDICT
+    item 6 — initialize_multihost used to be dead code: querying
+    jax.process_count() first initialized the backend, making the actual
+    distributed.initialize always fail into a silent single-process
+    no-op). Each process initializes against a local coordinator, sees
+    TWO global devices, and a cross-process pmap psum returns 2.0 —
+    the TPU-pod bring-up path (reference NCCL scaffolding being replaced:
+    src/utils/multi_gpu_processor.py:494-620), minus only the hardware."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ.pop('XLA_FLAGS', None)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "try:\n"
+        "    jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
+        "except Exception:\n"
+        "    pass\n"
+        f"sys.path.insert(0, {str(repo)!r})\n"
+        "from tvc.parallel.mesh import initialize_multihost\n"
+        "n = initialize_multihost(sys.argv[1], num_processes=2,\n"
+        "                         process_id=int(sys.argv[2]))\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "assert n == jax.device_count() == 2, (n, jax.device_count())\n"
+        "import jax.numpy as jnp\n"
+        "out = jax.pmap(lambda x: jax.lax.psum(x, 'i'), axis_name='i')(\n"
+        "    jnp.ones(jax.local_device_count()))\n"
+        "assert float(out[0]) == 2.0, out\n"
+        "print(f'proc {sys.argv[2]} OK', flush=True)\n"
+    )
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    assert "proc 0 OK" in outs[0] and "proc 1 OK" in outs[1]
