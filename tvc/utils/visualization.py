@@ -95,11 +95,17 @@ class VisualizationManager:
         method: str = "pca",
     ) -> str:
         """2D projection of embeddings (reference :432-590; PCA default —
-        t-SNE available, PCA is deterministic and fast)."""
+        t-SNE and UMAP available; UMAP is the first-party implementation
+        in tvc/utils/umap_lite.py since umap-learn is not installable
+        here)."""
         if method == "tsne":
             from sklearn.manifold import TSNE
 
             xy = TSNE(n_components=2, random_state=0).fit_transform(embeddings)
+        elif method == "umap":
+            from tvc.utils.umap_lite import umap_embed
+
+            xy = umap_embed(np.asarray(embeddings), n_components=2, seed=0)
         else:
             from sklearn.decomposition import PCA
 
@@ -111,6 +117,49 @@ class VisualizationManager:
             ax.scatter(xy[m, 0], xy[m, 1], s=8, alpha=0.7, label=str(lab))
         ax.legend()
         ax.set_title(f"Embedding projection ({method})")
+        return self._save(fig, name)
+
+    def plot_roc_family(
+        self,
+        curves: Dict[str, Dict[str, Sequence[float]]],
+        name: str = "roc_family",
+        title: str = "ROC curves",
+    ) -> str:
+        """Overlayed ROC curves from precomputed points — e.g. one curve
+        per ε of the four-scenarios epsilon sweep (``curves[label] =
+        {"fpr": [...], "tpr": [...]}``)."""
+        fig, ax = plt.subplots(figsize=(6, 5))
+        for label, c in curves.items():
+            ax.plot(c["fpr"], c["tpr"], marker=".", ms=3, label=label)
+        ax.plot([0, 1], [0, 1], "--", color="gray", alpha=0.5)
+        ax.set_xlabel("False positive rate")
+        ax.set_ylabel("True positive rate")
+        ax.set_title(title)
+        ax.legend(fontsize=8)
+        return self._save(fig, name)
+
+    def plot_lines(
+        self,
+        x: Sequence[float],
+        series: Dict[str, Sequence[float]],
+        name: str = "lines",
+        xlabel: str = "",
+        ylabel: str = "",
+        title: str = "",
+        logx: bool = False,
+    ) -> str:
+        """Simple multi-series line chart (e.g. detection metrics vs the
+        adaptive attacker's penalty weight λ)."""
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for label, ys in series.items():
+            ax.plot(x, ys, marker="o", ms=4, label=label)
+        if logx:
+            ax.set_xscale("symlog", linthresh=min([v for v in x if v > 0] or [1]))
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        if title:
+            ax.set_title(title)
+        ax.legend(fontsize=8)
         return self._save(fig, name)
 
     def plot_confusion_matrix(
