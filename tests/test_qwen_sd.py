@@ -212,7 +212,10 @@ def test_sd_mesh_sharded_generation_matches_single():
     b = sd_s.generate_images_batch(["x", "y", "z", "w"], num_images=2, seed=4)
     for pa, pb in zip(a, b):
         for ia, ib in zip(pa, pb):
-            np.testing.assert_allclose(ia, ib, atol=1e-5)
+            # images travel device->host as uint8 (sd.py _build_sampler):
+            # a float ULP of mesh-vs-single difference at a 0.5 rounding
+            # boundary flips a pixel by exactly one 8-bit step
+            np.testing.assert_allclose(ia, ib, atol=1.01 / 255)
 
 
 def test_qwen_int8_weight_only():
