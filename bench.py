@@ -566,7 +566,10 @@ def main():
     tokens = tokens[:, :T_b]
     variant_tokens = variant_tokens[:, :, :T_b]
     log(f"text bucket: {T_b} tokens (real max {real_len})")
-    bank = l2_normalize(jax.random.normal(k2, (BANK_N, D)))
+    # bf16 bank rows: the 131k x 512 top-k matmul runs bf16 x bf16 -> f32
+    # on the MXU at ~2x the f32-input rate; ranking-grade scores (the
+    # docs' bank-size scaling runs already serve bf16 banks at >= 1M rows)
+    bank = l2_normalize(jax.random.normal(k2, (BANK_N, D))).astype(jnp.bfloat16)
 
     params = model.params
     # pre-quantized int8 serving weights, threaded as a runtime argument
@@ -579,7 +582,11 @@ def main():
         # text-query retrieval (the text fetches what the image SHOULD look
         # like, reference src/pipeline.py:441-472)
         b = img.shape[0]
-        sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
+        # bf16 x bf16 -> f32 accumulate: both operands must be bf16 or XLA
+        # promotes the whole matmul to f32 (bank is stored bf16)
+        sims = jnp.dot(
+            txt.astype(bank.dtype), bank.T, preferred_element_type=jnp.float32
+        )
         _, idx = jax.lax.top_k(sims, K)
         refs = jnp.take(bank, idx.reshape(-1), axis=0).reshape(b, K, -1)
         out = fused_consistency_scores(img, txt, var, refs)

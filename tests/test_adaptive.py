@@ -64,6 +64,7 @@ def _clean_band(model, data):
     return float(s.min()) - 1e-3, float(s.max()) + 1e-3, vemb
 
 
+@pytest.mark.slow
 def test_constraints_and_band_steering(model, data):
     images, texts, variants, refs = data
     lo, hi, _ = _clean_band(model, data)
@@ -109,6 +110,7 @@ def test_lambda_zero_matches_oblivious_pgd(model, data):
     assert res.final_similarity.mean() < clean_sims.mean() - 0.05
 
 
+@pytest.mark.slow
 def test_run_adaptive_evaluation_artifact(model, data):
     images, texts, variants, refs = data
     from tvc.detector import AdversarialDetector, DetectorConfig
@@ -138,6 +140,7 @@ def test_run_adaptive_evaluation_artifact(model, data):
             assert 0.0 <= row[k] <= 1.0 or k == "mean_aggregated"
 
 
+@pytest.mark.slow
 def test_hubness_base_runs(model, data):
     images, texts, variants, refs = data
     cfg = AdaptiveAttackConfig(

@@ -11,6 +11,7 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
+@pytest.mark.slow
 def test_attack_runner_sweep():
     from tvc.experiments.harness import HarnessConfig
     from tvc.experiments.runners import AttackRunner
@@ -23,6 +24,7 @@ def test_attack_runner_sweep():
         assert v["elapsed_s"] > 0
 
 
+@pytest.mark.slow
 def test_detection_runner_variant():
     from tvc.experiments.harness import HarnessConfig
     from tvc.experiments.runners import DetectionRunner
@@ -84,6 +86,7 @@ def test_cli_deploy_modes(capsys, monkeypatch, tmp_path):
     assert "hardware:" in out and "unknown choice" in out
 
 
+@pytest.mark.slow
 def test_cli_build_bank(tmp_path, capsys):
     from tvc.cli import build_bank_main
 
@@ -120,6 +123,7 @@ def test_experiment_config_resolution():
     assert get_by_path(cfg2, "attack.type") == "pgd"  # inherited through chain
 
 
+@pytest.mark.slow
 def test_hubness_demo_script():
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / "hubness_attack_demo.py"), "--num-samples", "4"],
@@ -133,6 +137,7 @@ def test_hubness_demo_script():
     assert "TVC defense" in proc.stdout
 
 
+@pytest.mark.slow
 def test_hubness_benchmark_script(tmp_path):
     out = tmp_path / "bench.json"
     proc = subprocess.run(

@@ -23,6 +23,7 @@ def test_encode_shapes(clip):
     assert tfeats.shape == (2, cfg.embed_dim)
 
 
+@pytest.mark.slow
 def test_deterministic_init_and_encode():
     a = CLIPModel(CLIPConfig.tiny(), seed=0)
     b = CLIPModel(CLIPConfig.tiny(), seed=0)
@@ -34,6 +35,7 @@ def test_deterministic_init_and_encode():
     assert not np.allclose(np.asarray(a.encode_image(x)), np.asarray(c.encode_image(x)))
 
 
+@pytest.mark.slow
 def test_image_grad_flows(clip):
     """The attack path: grad of similarity wrt input pixels is nonzero."""
     cfg = clip.config
@@ -84,6 +86,7 @@ def test_preprocess_pil_roundtrip(clip):
     assert feats.shape == (1, clip.config.embed_dim)
 
 
+@pytest.mark.slow
 def test_fused_attention_encode_matches_standard():
     import dataclasses
 
@@ -134,6 +137,7 @@ def test_clip_config_from_name():
         CLIPConfig.from_name("RN50")
 
 
+@pytest.mark.slow
 def test_bucketed_text_features_exact(clip):
     """Two-bucket text encode == single-bucket encode, row for row.
 
@@ -171,6 +175,7 @@ def test_bucketed_text_features_exact(clip):
     np.testing.assert_allclose(bucketed, plain, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_bucketed_text_features_dedup_exact(clip):
     """dedup=True: duplicate token rows encode once, the inverse gather
     restores per-row features exactly, and the plan never costs more

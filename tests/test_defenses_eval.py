@@ -50,6 +50,7 @@ def make_alt_detector(clip, **kw):
     )
 
 
+@pytest.mark.slow
 def test_alt_detector_batched(clip, batch):
     images, texts = batch
     det = make_alt_detector(clip)
@@ -71,6 +72,7 @@ def test_alt_detector_single_and_decision_direction(clip, batch):
     assert out2["is_adversarial"] is False
 
 
+@pytest.mark.slow
 def test_checker_history_and_stats(clip, batch):
     images, texts = batch
     det = make_alt_detector(clip)

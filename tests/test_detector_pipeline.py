@@ -64,6 +64,7 @@ def make_detector(clip, **cfg_kw):
     )
 
 
+@pytest.mark.slow
 def test_detector_batch_shapes(clip, data):
     images, texts = data
     det = make_detector(clip)
@@ -91,6 +92,7 @@ def test_detector_single_query_api(clip, data):
     assert out2["scores"]["text_variants"] == 0.0 or True  # method subset runs
 
 
+@pytest.mark.slow
 def test_detector_result_cache(clip, data):
     """Single-query LRU cache (reference src/detector.py:363-366,:413-419):
     identical query hits; different image/text misses; calibration updates
@@ -196,6 +198,7 @@ def test_pipeline_single_query(clip, data):
     assert set(out) >= {"is_adversarial", "score", "variants", "timings"}
 
 
+@pytest.mark.slow
 def test_pipeline_profiler_collects(clip, data):
     images, texts = data
     pipe = MultiModalDetectionPipeline(clip, PipelineConfig(enable_profiling=True))
@@ -326,6 +329,7 @@ def test_ensemble_majority_margin_and_weights(clip, data):
     assert (res2.aggregated_score < 0).all()
 
 
+@pytest.mark.slow
 def test_process_stream_dispatch_order(clip):
     """The streaming loop must DISPATCH batch i+1's variant generation
     before FINALIZING batch i's handle — that ordering is what lets the

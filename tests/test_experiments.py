@@ -24,6 +24,7 @@ def setup():
     return clip, pipe, batch
 
 
+@pytest.mark.slow
 def test_four_scenarios_runs_and_separates(setup, tmp_path):
     clip, pipe, batch = setup
     cfg = FourScenariosConfig(
@@ -52,6 +53,7 @@ def test_four_scenarios_runs_and_separates(setup, tmp_path):
     assert loaded["summary"]["auroc"]["pgd"] == s4["auroc"]
 
 
+@pytest.mark.slow
 def test_four_scenarios_hubness(setup, tmp_path):
     clip, pipe, batch = setup
     # disjoint query pool (paper protocol): headline ASR = mean hubness
@@ -80,6 +82,7 @@ def test_unknown_attack_raises(setup):
         exp._make_attacker("bad")
 
 
+@pytest.mark.slow
 def test_retrieval_quality_mode(tmp_path):
     from tvc.experiments.harness import ExperimentHarness, HarnessConfig
 
@@ -122,6 +125,7 @@ def test_harness_hubness_pool_disjoint(tmp_path):
     assert fs.hubness.num_target_queries == len(pool)
 
 
+@pytest.mark.slow
 def test_four_scenarios_reference_schema(setup, tmp_path):
     """Output layout matches the reference's committed artifact
     (results/comprehensive_defense_evaluation/four_scenarios_*.json)."""
@@ -151,6 +155,7 @@ def test_four_scenarios_reference_schema(setup, tmp_path):
     assert res["metadata"]["actual_data_size"] == 4
 
 
+@pytest.mark.slow
 def test_cross_dataset_mode(tmp_path):
     from tvc.experiments.harness import ExperimentHarness, HarnessConfig
 
@@ -170,6 +175,7 @@ def test_cross_dataset_mode(tmp_path):
     assert 0.0 <= cd["detection_rate"] <= 1.0
 
 
+@pytest.mark.slow
 def test_four_scenarios_kill_and_resume(setup, tmp_path, monkeypatch):
     """Round-3 VERDICT item 10: a killed four-scenarios run resumes from
     stage checkpoints (skipping completed attack generations) and produces

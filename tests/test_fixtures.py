@@ -22,6 +22,7 @@ def trained():
     return load_trained_tiny(train_if_missing=True)
 
 
+@pytest.mark.slow
 def test_fixture_retrieval_quality(trained):
     m = evaluate_fixture(trained, n=50)
     # reference measured 0.8875; the fixture must at least match it
@@ -126,6 +127,7 @@ def test_experiment_yaml_configures_run():
     assert atk.config.epsilon == pytest.approx(8 / 255)
 
 
+@pytest.mark.slow
 def test_hubness_yaml_overrides():
     from tvc.experiments.harness import parse_args, ExperimentHarness
 
@@ -146,6 +148,7 @@ def test_hubness_yaml_overrides():
     assert fs.hubness.success_threshold == pytest.approx(0.84)
 
 
+@pytest.mark.slow
 def test_cross_dataset_disjoint_split():
     """Same-dataset cross_dataset target must not reuse calibration
     samples (round-1 ADVICE medium finding)."""
@@ -173,6 +176,7 @@ def test_cross_dataset_disjoint_split():
     assert src_caps.isdisjoint(tgt_caps)
 
 
+@pytest.mark.slow
 def test_harness_bank_is_encoded_dataset():
     """The retrieval bank must be encoded dataset images, not noise."""
     from tvc.experiments.harness import ExperimentHarness, HarnessConfig

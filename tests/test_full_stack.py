@@ -41,6 +41,7 @@ def stack():
     return clip, pipe, all_batches["images"][:8], all_batches["texts"][:8]
 
 
+@pytest.mark.slow
 def test_full_pipeline_runs_all_components(stack):
     clip, pipe, images, texts = stack
     res = pipe.process_batch(images, texts)
@@ -53,6 +54,7 @@ def test_full_pipeline_runs_all_components(stack):
     assert np.all(np.isfinite(res.scores))
 
 
+@pytest.mark.slow
 def test_full_pipeline_detects_pgd(stack):
     from tvc.attacks import PGDAttackConfig, PGDAttacker
 
@@ -70,6 +72,7 @@ def test_full_pipeline_detects_pgd(stack):
     assert auroc > 0.6
 
 
+@pytest.mark.slow
 def test_harness_with_sd_and_qwen(tmp_path):
     from tvc.experiments.harness import ExperimentHarness, HarnessConfig
 

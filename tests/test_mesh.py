@@ -43,6 +43,7 @@ def test_multihost_helpers():
     assert host_local_batch(64) == 64  # one host -> identity
 
 
+@pytest.mark.slow
 def test_initialize_multihost_two_process(tmp_path):
     """Real 2-process ``jax.distributed`` bring-up on CPU (round-3 VERDICT
     item 6 — initialize_multihost used to be dead code: querying

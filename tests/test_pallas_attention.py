@@ -115,6 +115,7 @@ def test_fused_attention_layer_block_sizes():
     np.testing.assert_allclose(got, oracle(), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_text_tower_parity():
     """Fused causal attention-layer text tower matches the module path."""
     import dataclasses
@@ -133,6 +134,7 @@ def test_fused_text_tower_parity():
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_decode_gqa_kernel_parity():
     """Fused decode-attention kernel vs the jnp oracle, GQA shapes of both
     Qwen2-0.5B (KV=2, reps=7, Dh=64) and 7B (KV=4, reps=7, Dh=128)."""

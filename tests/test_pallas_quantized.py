@@ -85,6 +85,7 @@ def test_mlp_layer_i8_matches_bf16():
     assert _cos(ref, out) > 0.999
 
 
+@pytest.mark.slow
 def test_int8_towers_match_bf16_towers():
     """End-to-end: the i8 serving towers track the bf16 fused towers on a
     small-but-real-shape CLIP; feature cosine must survive 12 quantized
@@ -132,6 +133,7 @@ def test_int8_towers_match_bf16_towers():
     assert row_cos(txt_ref, txt_i8).min() > 0.98
 
 
+@pytest.mark.slow
 def test_clip_model_int8_dispatch():
     """CLIPModel(int8_serving=True) encodes through the i8 towers; the
     in-trace quantize path and the explicit pre-quantized path agree."""
@@ -158,6 +160,7 @@ def test_clip_model_int8_dispatch():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_w8_matmul_kernel_parity():
     """W8 matmul kernel vs dequant-then-matmul oracle at decode shapes
     (0.5B qkv/mlp and 7B down-proj slices)."""
@@ -189,6 +192,7 @@ def test_w8_matmul_kernel_parity():
         assert err_kernel < 0.15, err_kernel
 
 
+@pytest.mark.slow
 def test_qwen_w8a8_decode_runs():
     """quant_gemm='w8a8' routes decode GEMMs through the all-int8 kernel
     (dynamic per-row activation quantization); the decode must run and
@@ -212,6 +216,7 @@ def test_qwen_w8a8_decode_runs():
     assert all(isinstance(s, str) for s in outa8)
 
 
+@pytest.mark.slow
 def test_stacked_matmul_kernels_match_sliced():
     """Scalar-prefetch stacked kernels (layer index selects the weight
     blocks, zero slab copies) must match the per-layer kernels on every

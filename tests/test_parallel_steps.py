@@ -23,6 +23,7 @@ def model():
     return CLIPModel(CLIPConfig.tiny(), seed=0)
 
 
+@pytest.mark.slow
 def test_defense_step(mesh, model):
     cfg = model.config
     rng = np.random.default_rng(0)
@@ -48,6 +49,7 @@ def test_defense_step(mesh, model):
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(mesh, model):
     cfg = model.config
     rng = np.random.default_rng(1)
@@ -106,12 +108,14 @@ def test_detect_batch_mesh_fused_matches_single_device(mesh, model):
     )
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_warmed_backend():
     """Driver scenario: the backend is already initialized with ONE device
     before dryrun_multichip is called — it must re-exec a CPU subprocess
@@ -139,6 +143,7 @@ def test_graft_entry_dryrun_warmed_backend():
     assert "dryrun_multichip OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_graft_entry_forward():
     import __graft_entry__ as g
 
@@ -148,6 +153,7 @@ def test_graft_entry_forward():
     assert callable(fn) and len(args) == 3
 
 
+@pytest.mark.slow
 def test_serving_step_mesh_matches_single_device(mesh, model):
     """make_serving_step under the 8-device mesh == single-device, with
     ragged variant masks and two-sided thresholds."""
@@ -193,6 +199,7 @@ def test_serving_step_mesh_matches_single_device(mesh, model):
     np.testing.assert_array_equal(flags, (agg > hi) | (agg < lo))
 
 
+@pytest.mark.slow
 def test_serving_step_mesh_fused_int8_matches_single_device(mesh):
     """The mesh serving path runs the SAME fused int8 tower kernels as
     single-chip (shard_map over the data axis; pallas interpret mode on

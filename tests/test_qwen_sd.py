@@ -34,11 +34,13 @@ def test_qwen_paraphrases_api(qwen):
     assert all(isinstance(o, str) for o in outs)
 
 
+@pytest.mark.slow
 def test_qwen_sampling_varies_with_temperature(qwen):
     outs = qwen.generate(["same prompt"] * 4, temperature=1.5, seed=3)
     assert len(set(outs)) > 1  # different sample keys -> different outputs
 
 
+@pytest.mark.slow
 def test_qwen_augmenter_integration(qwen):
     from tvc.augment import TextAugmentConfig, TextAugmenter
 
@@ -55,6 +57,7 @@ def test_qwen_augmenter_integration(qwen):
     assert isinstance(out, list)
 
 
+@pytest.mark.slow
 def test_qwen_translate_api(qwen):
     """Batched translation decode: aligned, deterministic (greedy)."""
     texts = ["a dog in the park", "two cats on a mat"]
@@ -64,6 +67,7 @@ def test_qwen_translate_api(qwen):
     assert out == qwen.translate(texts, "en", "de")  # greedy determinism
 
 
+@pytest.mark.slow
 def test_back_translation_live_via_qwen(qwen):
     """VERDICT r2 item 7: with a Qwen-backed paraphrase generator, the
     back-translation strategy runs with NO injected translator (reference
@@ -89,6 +93,7 @@ def test_back_translation_live_via_qwen(qwen):
     assert len(out) <= 2 and all(isinstance(o, str) for o in out)
 
 
+@pytest.mark.slow
 def test_qwen_kv_cache_matches_full_forward():
     """Greedy decode with KV cache must equal argmax over full re-forward."""
     import jax.numpy as jnp
@@ -120,6 +125,7 @@ def test_qwen_kv_cache_matches_full_forward():
 # ---- SD ---------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_sd_generation_shapes_and_range(sd):
     imgs = sd.generate_image("a blue house", num_images=2, seed=1)
     assert len(imgs) == 2
@@ -127,6 +133,7 @@ def test_sd_generation_shapes_and_range(sd):
     assert imgs[0].min() >= 0.0 and imgs[0].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_sd_deterministic_per_seed(sd):
     a = sd.generate_image("a tree", num_images=1, seed=9)[0]
     b = sd.generate_image("a tree", num_images=1, seed=9)[0]
@@ -135,11 +142,13 @@ def test_sd_deterministic_per_seed(sd):
     assert not np.array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_sd_batched_prompts(sd):
     out = sd.generate_images_batch(["a", "b", "c"], num_images=2, seed=0)
     assert len(out) == 3 and len(out[0]) == 2
 
 
+@pytest.mark.slow
 def test_sd_vae_roundtrip_shapes(sd):
     imgs = np.random.default_rng(0).random((2, 32, 32, 3)).astype(np.float32)
     lat = sd.encode_image(imgs)
@@ -168,6 +177,7 @@ def test_assess_image_quality():
     assert assess_image_quality(rich) > 0.2
 
 
+@pytest.mark.slow
 def test_sd_reference_generator(sd):
     from tvc.models import CLIPConfig, CLIPModel
 
@@ -184,6 +194,7 @@ def test_sd_reference_generator(sd):
     assert adapter(["x"], 2).shape == (1, 2, clip.config.embed_dim)
 
 
+@pytest.mark.slow
 def test_sd_reference_cache(tmp_path, sd):
     from tvc.models import CLIPConfig, CLIPModel
 
@@ -200,6 +211,7 @@ def test_sd_reference_cache(tmp_path, sd):
     np.testing.assert_array_equal(np.stack(r1["images"]), np.stack(r2["images"]))
 
 
+@pytest.mark.slow
 def test_sd_mesh_sharded_generation_matches_single():
     import jax
 
@@ -218,6 +230,7 @@ def test_sd_mesh_sharded_generation_matches_single():
             np.testing.assert_allclose(ia, ib, atol=1.01 / 255)
 
 
+@pytest.mark.slow
 def test_qwen_int8_weight_only():
     """quantize_weights_int8: dequant roundtrip within per-channel scale
     bound; prefill logits track bf16; generate() runs end-to-end on the
@@ -276,6 +289,7 @@ def test_qwen_int8_weight_only():
     assert tp_out == single_out, (tp_out, single_out)
 
 
+@pytest.mark.slow
 def test_qwen_init_int8_and_shared_prefill():
     """init_int8 (layer-wise int8 random init — the only 7B-feasible init
     on 16 GB) produces the same tree STRUCTURE as post-hoc quantization,
@@ -382,6 +396,7 @@ def test_token_mask_constrains_decode(qwen):
     assert free == ones
 
 
+@pytest.mark.slow
 def test_decode_state_invalidates_on_params_swap():
     """Reassigning .params must rebuild the stacked decode tree (the
     fixture pattern `model.params = loaded` must not serve stale
@@ -410,6 +425,7 @@ def test_decode_state_invalidates_on_params_swap():
         d.generate(["a b c"], temperature=0.0)
 
 
+@pytest.mark.slow
 def test_chunked_decode_matches_single_chunk():
     """The early-exit chunked decode (while_loop over DECODE_CHUNK-step
     scans) is bit-identical to one uninterrupted scan: the per-step RNG
@@ -484,6 +500,7 @@ class _WordTok:
         )
 
 
+@pytest.mark.slow
 def test_prefix_shared_prefill_matches_plain():
     """Two-phase prefix-shared prefill (batch-1 prefix KV broadcast + suffix
     prefill at offset P) is numerically the same program as plain prefill:
@@ -523,6 +540,7 @@ def test_prefix_shared_prefill_fallback_hash_tokenizer(qwen):
     assert qwen._prefix_ok_cache["rewrite:"] is False
 
 
+@pytest.mark.slow
 def test_paraphrase_prefix_splits_real_qwen_tokenizer():
     """PARAPHRASE_PREFIX / TRANSLATE_PREFIX end on a byte-level-BPE
     pretokenizer boundary: prefix ids + suffix ids == full-prompt ids under

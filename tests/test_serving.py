@@ -31,6 +31,7 @@ def _imgs(n, size, seed=0):
     return rng.random((n, size, size, 3)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_submit_matches_direct_detect(runtime):
     """Padding to the batch bucket must not change per-row results."""
     size = runtime.detector.model.config.image_size
@@ -42,6 +43,7 @@ def test_submit_matches_direct_detect(runtime):
     assert got["is_adversarial"] == np.asarray(want.is_adversarial).tolist()
 
 
+@pytest.mark.slow
 def test_concurrent_submits_coalesce(runtime):
     """Two requests inside the batching window run as ONE detector batch."""
     size = runtime.detector.model.config.image_size
@@ -125,6 +127,7 @@ def test_backlog_coalesces_past_deadline():
     rt.stop()
 
 
+@pytest.mark.slow
 def test_oversize_request_chunks_to_warm_buckets():
     """A request larger than batch_max_size splits into warmed-bucket
     chunks — no live-path compile of a novel shape."""
@@ -156,6 +159,7 @@ def test_fixed_text_bucket_no_new_programs(runtime):
     assert len(out["scores"]) == 2 and np.isfinite(out["scores"]).all()
 
 
+@pytest.mark.slow
 def test_int8_serving_engages_fused_path():
     """int8_serving must actually flip the kernels on (it only engages
     through fused_attention — a bare int8 flag was a silent no-op)."""
@@ -194,6 +198,7 @@ def test_cancelled_request_skipped():
     assert rt.stats()["queries"] == 1
 
 
+@pytest.mark.slow
 def test_stop_and_restart():
     rt = ServingRuntime(
         ServingConfig(clip_model="tiny", bank_size=32, batch_max_size=4)

@@ -60,6 +60,7 @@ def test_tiny_configs_keep_hash_fallback():
     assert isinstance(tok, HashTokenizer)
 
 
+@pytest.mark.slow
 def test_clip_model_defaults_to_real_bpe():
     from tvc.models import CLIPConfig, CLIPModel
 

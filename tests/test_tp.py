@@ -32,6 +32,7 @@ def test_param_specs_layout(model):
     assert specs["embed"]["embedding"] == P(MODEL_AXIS, None)
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_single_device(model, mesh):
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(
@@ -54,6 +55,7 @@ def test_tp_forward_matches_single_device(model, mesh):
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_qwen_decode_matches_single_device(mesh):
     """Full KV-cached decode with TP-sharded params == unsharded decode."""
     single = QwenModel(QwenConfig.tiny(), seed=0, max_new_tokens=6)

@@ -42,6 +42,7 @@ def hf_clip():
     return model
 
 
+@pytest.mark.slow
 def test_clip_parity(hf_clip):
     from tvc.models.clip import CLIPConfig, CLIPModel
 
@@ -72,6 +73,7 @@ def test_clip_parity(hf_clip):
     np.testing.assert_allclose(got_txt, hf_txt, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_qwen_parity():
     from tvc.models.qwen import QwenConfig, QwenModel
 
@@ -111,6 +113,7 @@ def test_qwen_parity():
     np.testing.assert_allclose(np.asarray(got), hf_logits, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_param_save_load_roundtrip(tmp_path):
     from tvc.models.sd import SDConfig, StableDiffusionModel
 
