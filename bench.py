@@ -868,6 +868,11 @@ def main():
         "backend": backend,
         "model": cfg.model_name,
         "serving_precision": "int8-w8a8" if cfg.int8_serving else "bf16",
+        # round-over-round comparability: r01/r02 benched SYNTHETIC short
+        # captions (single 16-token bucket, r02 8566 q/s); r03+ uses real
+        # COCO val2017 caption text (16+32-token buckets, ~33% more text
+        # tokens per batch) — the honest workload, not a regression
+        "text_protocol": "real_coco_captions",
         "core_elapsed_s": round(time.time() - T_START, 1),
         "budget_s": BUDGET_S,
     }

@@ -236,3 +236,48 @@ def test_bucket_text_tokens_degenerate():
     tokens = np.zeros((64, 16), np.int32)
     tokens[:, 12] = 1000
     assert bucket_text_tokens(tokens, short_len=8, capacity_quantum=16) is None
+
+
+def test_bucket_text_tokens_sharded_dedup(clip):
+    """Per-shard dedup (mesh serving): duplicate rows within a shard encode
+    once, inv stays LOCAL per shard, and the cost comparison never picks a
+    plan that encodes more tokens than the raw per-shard partition."""
+    from tvc.models.clip import bucket_text_tokens_sharded
+
+    rng = np.random.default_rng(5)
+    T, n_shards, g = 16, 4, 64
+    eot = clip.config.vocab_size - 1
+    uniq = np.zeros((16, T), np.int32)
+    for i in range(16):
+        n = int(rng.integers(2, T if i % 3 else 7))
+        uniq[i, : n - 1] = rng.integers(1, eot - 1, size=n - 1)
+        uniq[i, n - 1] = eot
+    tokens = uniq[rng.integers(0, 16, size=n_shards * g)]  # ~4x dups/shard
+    raw = bucket_text_tokens_sharded(tokens, n_shards, short_len=8, capacity_quantum=16)
+    ded = bucket_text_tokens_sharded(
+        tokens, n_shards, short_len=8, capacity_quantum=16, dedup=True
+    )
+    assert ded is not None
+    cost = lambda p: p["short"].size + p["long"].shape[0] * T
+    if raw is not None:
+        assert cost(ded) <= cost(raw)
+    ns = ded["short"].shape[0] // n_shards
+    nl = ded["long"].shape[0] // n_shards
+    assert ded["inv"].max() < ns + nl  # local index space per shard
+    # feature parity through the per-shard gather (single device stands in
+    # for each shard: concat(short_k, long_k)[inv_k] == plain rows)
+    params = clip.params
+    plain = np.asarray(clip.infer_text_features(params, jnp.asarray(tokens)))
+    for k in range(n_shards):
+        fs = np.asarray(
+            clip.infer_text_features(
+                params, jnp.asarray(ded["short"][k * ns : (k + 1) * ns])
+            )
+        )
+        fl = np.asarray(
+            clip.infer_text_features(
+                params, jnp.asarray(ded["long"][k * nl : (k + 1) * nl])
+            )
+        )
+        got = np.concatenate([fs, fl])[ded["inv"][k * g : (k + 1) * g]]
+        np.testing.assert_allclose(got, plain[k * g : (k + 1) * g], atol=2e-5, rtol=2e-5)

@@ -414,6 +414,7 @@ def make_serving_step(
                     all_tok,
                     mesh.shape.get(DATA_AXIS, 1),
                     short_len=bucket_short_len,
+                    dedup=True,
                 )
             if bucket is not None:
                 return jitted_bucketed(
