@@ -27,6 +27,8 @@ FAMILIES = (
     "efficiency_analysis",
     "cross_dataset",
     "retrieval_quality",
+    "adaptive_attack",
+    "epsilon_sweep",
 )
 
 _METRIC_KEYS = {"auroc", "accuracy", "f1", "fpr_at_95_tpr", "optimal_threshold"}
@@ -58,13 +60,25 @@ def split_comprehensive(res: Dict[str, Any]) -> List[Tuple[str, Dict[str, Any]]]
     """A comprehensive-mode result nests one result per mode under the
     mode's name (harness.run_comprehensive). Returns [(family, sub)] —
     or [(family, res)] for a standalone result."""
+    def _sweep_of(d: Dict[str, Any]) -> List[Tuple[str, Dict[str, Any]]]:
+        sw = d.get("epsilon_sweep")
+        return [("epsilon_sweep", sw)] if isinstance(sw, dict) and sw else []
+
+    # standalone four-scenarios artifact (has "scenarios" AND a nested
+    # epsilon_sweep key — the sweep must not shadow the main table)
+    if isinstance(res.get("scenarios"), dict):
+        return [("four_scenarios", res)] + _sweep_of(res)
     subs = [
         (fam, res[fam])
         for fam in FAMILIES
-        if isinstance(res.get(fam), dict)
+        if isinstance(res.get(fam), dict) and res[fam]
     ]
     if subs:
-        return subs
+        extra: List[Tuple[str, Dict[str, Any]]] = []
+        for fam, sub in subs:
+            if fam == "four_scenarios":
+                extra += _sweep_of(sub)
+        return subs + extra
     fam = detect_family(res)
     return [(fam, res)] if fam else []
 
@@ -213,6 +227,56 @@ def efficiency_analysis_table(res: Dict[str, Any]) -> List[Dict[str, Any]]:
     return _fmt_rows(rows)
 
 
+def adaptive_attack_table(res: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """One row per (attack base, λ): the defense-aware attacker's
+    evasion/effectiveness frontier (harness mode adaptive_attack,
+    tvc/attacks/adaptive.py)."""
+    rows = []
+    for base, r in res.items():
+        if not isinstance(r, dict) or "sweep" not in r:
+            continue
+        for lam, m in sorted(r["sweep"].items(), key=lambda kv: float(kv[0])):
+            rows.append(
+                {
+                    "attack": base,
+                    "lambda": float(lam),
+                    "attack_success": m.get("attack_success_rate"),
+                    "detection_rate": m.get("detection_rate"),
+                    "auroc_band": m.get("auroc_band"),
+                    "evasion_success": m.get("evasion_success_rate"),
+                    **(
+                        {"mean_hubness_score": m["mean_hubness_score"]}
+                        if "mean_hubness_score" in m
+                        else {}
+                    ),
+                }
+            )
+    return _fmt_rows(rows)
+
+
+def epsilon_sweep_table(res: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """One row per (attack, ε): the de-saturated detection-quality table
+    (four_scenarios epsilon_sweep)."""
+    rows = []
+    for attack, sweeps in res.items():
+        if not isinstance(sweeps, dict):
+            continue
+        for eps_label, m in sweeps.items():
+            if not isinstance(m, dict) or "auroc" not in m:
+                continue
+            rows.append(
+                {
+                    "attack": attack,
+                    "epsilon": eps_label,
+                    "auroc": m.get("auroc"),
+                    "detection_rate": m.get("detection_rate"),
+                    "asr_similarity": m.get("attack_success_similarity"),
+                    "asr_retrieval": m.get("attack_success_retrieval"),
+                }
+            )
+    return _fmt_rows(rows)
+
+
 def generic_table(res: Dict[str, Any]) -> List[Dict[str, Any]]:
     """Fallback: one row of the scalar metrics at the top two levels."""
     row: Dict[str, Any] = {}
@@ -232,6 +296,8 @@ TABLE_BUILDERS = {
     "baseline_comparison": baseline_comparison_table,
     "ablation_study": ablation_study_table,
     "efficiency_analysis": efficiency_analysis_table,
+    "adaptive_attack": adaptive_attack_table,
+    "epsilon_sweep": epsilon_sweep_table,
 }
 
 
@@ -293,5 +359,36 @@ def key_findings(parsed: List[Tuple[str, str, List[Dict[str, Any]]]]) -> List[st
                 s, ms = max(stages, key=lambda t: t[1])
                 findings.append(
                     f"Efficiency: '{s}' dominates at {ms:.2f} ms/query ({name})."
+                )
+        if fam == "adaptive_attack":
+            bands = [
+                (r["attack"], r["lambda"], r["auroc_band"])
+                for r in rows
+                if isinstance(r.get("auroc_band"), (int, float))
+            ]
+            evas = [
+                r.get("evasion_success") or 0.0
+                for r in rows
+                if r.get("evasion_success") is not None
+            ]
+            if bands:
+                a, lam, worst = min(bands, key=lambda t: t[2])
+                findings.append(
+                    f"Adaptive attacker: band AUROC drops to {worst:.3f} "
+                    f"({a}, λ={lam:g}); peak joint evasion success "
+                    f"{max(evas):.3f} ({name})."
+                )
+        if fam == "epsilon_sweep":
+            soft = [
+                (r["attack"], r["epsilon"], r["auroc"])
+                for r in rows
+                if isinstance(r.get("auroc"), (int, float)) and r["auroc"] < 0.99
+            ]
+            if soft:
+                a, eps, v = min(soft, key=lambda t: t[2])
+                findings.append(
+                    f"ε-sweep: detection de-saturates below {eps} "
+                    f"(AUROC {v:.3f} for {a}) — the benchmark discriminates "
+                    f"detector variants there ({name})."
                 )
     return findings

@@ -149,6 +149,8 @@ _LATEX_CAPTIONS = {
     "baseline_comparison": "Baseline comparison",
     "ablation_study": "Ablation study",
     "efficiency_analysis": "Efficiency analysis (per-stage timing)",
+    "adaptive_attack": "Adaptive (defense-aware) attacker sweep",
+    "epsilon_sweep": "Detection quality vs perturbation budget",
 }
 
 

@@ -717,11 +717,15 @@ def measure_serving_overhead(
     ).reshape(B * (V + 1), t_b)
     _bucket = bucket_text_tokens(all_tok_np, short_len=16, dedup=True)
 
-    def _text_feats(params, tokens, variant_tokens, st, lt, inv):
+    # qparams is threaded as a jit ARGUMENT everywhere below: closing over
+    # the ~150 MB int8 weight tree bakes it into the HLO as constants —
+    # 0.5 GB serialized programs, 100-170s remote compiles, unstable
+    # compile-cache keys (same finding as bench.py round 4)
+    def _text_feats(params, qp, tokens, variant_tokens, st, lt, inv):
         if _bucket is not None:
             return l2_normalize(
                 model.infer_text_features_bucketed(
-                    params, st, lt, inv, qparams=qparams
+                    params, st, lt, inv, qparams=qp
                 )
             ).reshape(B, V + 1, -1)
         b, v, t = variant_tokens.shape
@@ -729,16 +733,16 @@ def measure_serving_overhead(
             [tokens[:, None, :], variant_tokens], axis=1
         ).reshape(b * (v + 1), t)
         return l2_normalize(
-            model.infer_text_features(params, all_tok, qparams=qparams)
+            model.infer_text_features(params, all_tok, qparams=qp)
         ).reshape(b, v + 1, -1)
 
-    def _defended(params, pixels, tokens, variant_tokens, st, lt, inv, bank):
+    def _defended(params, qp, pixels, tokens, variant_tokens, st, lt, inv, bank):
         img = l2_normalize(
             model.infer_image_features(
-                params, normalize_pixels(pixels), qparams=qparams
+                params, normalize_pixels(pixels), qparams=qp
             )
         )
-        allf = _text_feats(params, tokens, variant_tokens, st, lt, inv)
+        allf = _text_feats(params, qp, tokens, variant_tokens, st, lt, inv)
         txt, var = allf[:, 0], allf[:, 1:]
         sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
         _, idx = jax.lax.top_k(sims, K_)
@@ -746,15 +750,15 @@ def measure_serving_overhead(
         out = fused_consistency_scores(img, txt, var, refs)
         return jnp.sum(out["aggregated"])
 
-    def _baseline(params, pixels, tokens, bank):
+    def _baseline(params, qp, pixels, tokens, bank):
         # undefended retrieval: encode query image + query text, bank top-k
         img = l2_normalize(
             model.infer_image_features(
-                params, normalize_pixels(pixels), qparams=qparams
+                params, normalize_pixels(pixels), qparams=qp
             )
         )
         txt = l2_normalize(
-            model.infer_text_features(params, tokens, qparams=qparams)
+            model.infer_text_features(params, tokens, qparams=qp)
         )
         sims = jnp.dot(txt, bank.T, preferred_element_type=jnp.float32)
         top, _ = jax.lax.top_k(sims, K_)
@@ -769,24 +773,24 @@ def measure_serving_overhead(
         inv0 = jnp.zeros((0,), jnp.int32)
 
     @jax.jit
-    def defended_k(params, pixels, tokens, variant_tokens, st, lt, inv, bank, k):
+    def defended_k(params, qp, pixels, tokens, variant_tokens, st, lt, inv, bank, k):
         def body(i, acc):
             px = pixels + i.astype(jnp.float32) * 1e-9
             tok = jnp.roll(tokens, i, axis=0)
             vtok = jnp.roll(variant_tokens, i, axis=0)
             return acc + _defended(
-                params, px, tok, vtok,
+                params, qp, px, tok, vtok,
                 jnp.roll(st, i, axis=0), jnp.roll(lt, i, axis=0), inv, bank,
             )
 
         return jax.lax.fori_loop(0, k, body, 0.0)
 
     @jax.jit
-    def baseline_k(params, pixels, tokens, bank, k):
+    def baseline_k(params, qp, pixels, tokens, bank, k):
         def body(i, acc):
             px = pixels + i.astype(jnp.float32) * 1e-9
             tok = jnp.roll(tokens, i, axis=0)
-            return acc + _baseline(params, px, tok, bank)
+            return acc + _baseline(params, qp, px, tok, bank)
 
         return jax.lax.fori_loop(0, k, body, 0.0)
 
@@ -799,8 +803,8 @@ def measure_serving_overhead(
         _ = float(z[0, 0])
     rtt = (time.time() - t0) / 5
 
-    _ = float(defended_k(params, pixels, tokens, variant_tokens, st0, lt0, inv0, bank, 2))
-    _ = float(baseline_k(params, pixels, tokens, bank, 2))
+    _ = float(defended_k(params, qparams, pixels, tokens, variant_tokens, st0, lt0, inv0, bank, 2))
+    _ = float(baseline_k(params, qparams, pixels, tokens, bank, 2))
 
     def _measure(fn, k):
         t0 = time.time()
@@ -808,9 +812,9 @@ def measure_serving_overhead(
         return max(time.time() - t0 - rtt, 1e-9)
 
     def_fn = lambda k: defended_k(
-        params, pixels, tokens, variant_tokens, st0, lt0, inv0, bank, k
+        params, qparams, pixels, tokens, variant_tokens, st0, lt0, inv0, bank, k
     )
-    base_fn = lambda k: baseline_k(params, pixels, tokens, bank, k)
+    base_fn = lambda k: baseline_k(params, qparams, pixels, tokens, bank, k)
     n_chain, elapsed = 4, _measure(def_fn, 4)
     while elapsed < max(30 * rtt, 1.0) and n_chain < 4096:
         n_chain *= 4
