@@ -993,7 +993,10 @@ def main():
         emit(summary)
 
     # -- config #5: SD genref amortized through the bank ----------------------
-    if "--skip-sd" not in sys.argv and stage_fits("sd_genref", 210):
+    # est = warm-cache cost (SD init 60s + gen + 512px + CLIP embed; the
+    # persistent cache holds the SD programs across runs — cold-cache cost
+    # is ~210s, acceptable overrun vs never running the stage)
+    if "--skip-sd" not in sys.argv and stage_fits("sd_genref", 150):
         try:
             summary.update(_sd_genref_stage(model, texts))
         except Exception as e:

@@ -71,3 +71,16 @@ def test_kernel_custom_weights_threshold(rng):
     np.testing.assert_array_equal(
         np.asarray(got["is_adversarial"]), np.asarray(want["is_adversarial"])
     )
+
+
+@pytest.mark.parametrize("fn", [fused_consistency_scores, consistency_scores_reference])
+def test_shape_mismatch_raises(rng, fn):
+    img, txt, variants, refs, _, _ = make_inputs(rng, B=4)
+    with pytest.raises(ValueError, match="txt shape"):
+        fn(img, txt[:2], variants, refs)
+    with pytest.raises(ValueError, match="variants"):
+        fn(img, txt, variants[:, :, :64], refs)
+    with pytest.raises(ValueError, match="refs"):
+        fn(img, txt, variants, refs[:1])
+    with pytest.raises(ValueError, match="img"):
+        fn(img[None], txt, variants, refs)

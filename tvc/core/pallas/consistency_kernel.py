@@ -118,6 +118,20 @@ def _consistency_kernel(
     )
 
 
+def _check_embed_shapes(img: Array, txt: Array, variants: Array, refs: Array) -> None:
+    if img.ndim != 2:
+        raise ValueError(f"img must be [B, D], got {img.shape}")
+    B, D = img.shape
+    if txt.shape != (B, D):
+        raise ValueError(f"txt shape {txt.shape} must match img shape {(B, D)}")
+    if variants.ndim != 3 or variants.shape[0] != B or variants.shape[2] != D:
+        raise ValueError(
+            f"variants must be [B={B}, V, D={D}], got {variants.shape}"
+        )
+    if refs.ndim != 3 or refs.shape[0] != B or refs.shape[2] != D:
+        raise ValueError(f"refs must be [B={B}, R, D={D}], got {refs.shape}")
+
+
 def _pad_axis(x: Array, axis: int, multiple: int, value: float = 0.0) -> Array:
     size = x.shape[axis]
     target = -(-size // multiple) * multiple
@@ -159,6 +173,7 @@ def fused_consistency_scores(
     ``consistency_score``, ``aggregated``, ``is_adversarial`` (bool),
     ``orig_similarity``, ``variant_mean``, ``variant_std``.
     """
+    _check_embed_shapes(img, txt, variants, refs)
     B, D = img.shape
     V = variants.shape[1]
     R = refs.shape[1]
@@ -233,6 +248,7 @@ def consistency_scores_reference(
     threshold: float = C.DEFAULT_THRESHOLD,
 ) -> Dict[str, Array]:
     """Pure-jnp oracle with identical outputs (used in parity tests)."""
+    _check_embed_shapes(img, txt, variants, refs)
     orig = S.cosine_similarity(img, txt)
     vsims = S.batched_set_cosine(img, variants)
     rsims = S.batched_set_cosine(img, refs)
