@@ -238,10 +238,14 @@ def test_bucket_text_tokens_degenerate():
     assert bucket_text_tokens(tokens, short_len=8, capacity_quantum=16) is None
 
 
+@pytest.mark.slow
 def test_bucket_text_tokens_sharded_dedup(clip):
     """Per-shard dedup (mesh serving): duplicate rows within a shard encode
     once, inv stays LOCAL per shard, and the cost comparison never picks a
-    plan that encodes more tokens than the raw per-shard partition."""
+    plan that encodes more tokens than the raw per-shard partition.
+
+    slow: compiles a shard_map program; the bucketing core path stays in
+    the fast tier via test_bucket_text_tokens_degenerate."""
     from tvc.models.clip import bucket_text_tokens_sharded
 
     rng = np.random.default_rng(5)

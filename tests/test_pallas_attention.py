@@ -53,9 +53,13 @@ def test_block_heads_non_divisible(rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_attention_layer_parity():
     """The fully fused attention-layer kernel (LN+QKV+MHA+out+residual)
-    must match the flax module path on the same params."""
+    must match the flax module path on the same params.
+
+    slow: full-layer compile; the kernel stays fast-tier covered by the
+    mha/causal/block-size tests above."""
     import dataclasses
 
     import jax.numpy as jnp

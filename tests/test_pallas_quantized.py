@@ -39,7 +39,11 @@ def test_quantize_linear_roundtrip():
     assert err <= float(np.asarray(s).max()) * 0.51
 
 
-@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    # non-causal variant is slow-tier only: same kernel, second compile
+    "causal",
+    [pytest.param(False, marks=pytest.mark.slow), True],
+)
 def test_attention_layer_i8_matches_bf16(causal):
     B, T, W, H = 4, 8, 128, 4
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
