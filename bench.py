@@ -993,10 +993,12 @@ def main():
         emit(summary)
 
     # -- config #5: SD genref amortized through the bank ----------------------
-    # est = warm-cache cost (SD init 60s + gen + 512px + CLIP embed; the
-    # persistent cache holds the SD programs across runs — cold-cache cost
-    # is ~210s, acceptable overrun vs never running the stage)
-    if "--skip-sd" not in sys.argv and stage_fits("sd_genref", 150):
+    # est = measured warm-cache cost (~70s: init 60s + gen 3s + embed 2s +
+    # 512px ~5s) + margin. The risky case — SD programs cold while earlier
+    # stages ran warm — needs an SD code change without a re-warm run; a
+    # fully cold cache slows the CORE stages first, so rem at this gate is
+    # already < est and the stage skips gracefully.
+    if "--skip-sd" not in sys.argv and stage_fits("sd_genref", 100):
         try:
             summary.update(_sd_genref_stage(model, texts))
         except Exception as e:
