@@ -875,6 +875,10 @@ def main():
         "backend": backend,
         "model": cfg.model_name,
         "serving_precision": "int8-w8a8" if cfg.int8_serving else "bf16",
+        # bank rows stored bf16 since r04 (2x MXU rate on the top-k matmul);
+        # recorded so round-over-round q/s deltas vs f32-bank rounds keep
+        # their provenance, like text_protocol below
+        "bank_dtype": "bf16",
         # round-over-round comparability: r01/r02 benched SYNTHETIC short
         # captions (single 16-token bucket, r02 8566 q/s); r03+ uses real
         # COCO val2017 caption text (16+32-token buckets, ~33% more text

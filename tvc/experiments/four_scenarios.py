@@ -180,7 +180,11 @@ class FourScenariosExperiment:
 
         h = hashlib.md5()
         arr = np.ascontiguousarray(np.asarray(images, dtype=np.float32))
-        h.update(arr.tobytes()[: 1 << 22])
+        # full buffer + shape (round-4 ADVICE: a 4 MiB prefix let runs whose
+        # images differ only past ~7 images share a fingerprint and resume
+        # stale adversarial stages; md5 over even 600 MB is seconds)
+        h.update(np.asarray(arr.shape, np.int64).tobytes())
+        h.update(arr.tobytes())
         h.update("\x00".join(texts).encode())
         cfg = dataclasses.asdict(self.config)
         for k in ("output_dir", "save_results", "checkpoint_dir", "resume"):
@@ -445,8 +449,15 @@ class FourScenariosExperiment:
                 ov = dict(saved or {})
                 ov["epsilon"] = float(eps)
                 if name == "pgd":
-                    # keep the step/budget ratio of the headline config
-                    ov.setdefault("alpha", max(float(eps) / 4.0, 0.5 / 255))
+                    # keep the step/budget ratio of the headline config; an
+                    # inherited alpha is capped at eps/2 so a small-eps row
+                    # never steps past its own budget (round-4 ADVICE: the
+                    # old setdefault kept the headline alpha verbatim, which
+                    # weakened low-eps attacks with alpha > eps)
+                    ov["alpha"] = min(
+                        float(ov.get("alpha", max(float(eps) / 4.0, 0.5 / 255))),
+                        float(eps) / 2.0,
+                    )
                 self.config.attack_overrides[name] = ov
                 try:
                     res = self.generate_adversarial(images, texts, name)

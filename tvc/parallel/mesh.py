@@ -127,11 +127,17 @@ def initialize_multihost(
     import jax
 
     try:
-        from jax._src.distributed import global_state as _dist_state
+        # public API first (round-4 ADVICE: the private-state fallback's
+        # last resort, jax.process_count(), initializes the backend and
+        # re-creates the very ordering bug this function guards against)
+        already = bool(jax.distributed.is_initialized())
+    except AttributeError:
+        try:
+            from jax._src.distributed import global_state as _dist_state
 
-        already = getattr(_dist_state, "client", None) is not None
-    except ImportError:  # private-API drift: fall back to process_count
-        already = jax.process_count() > 1
+            already = getattr(_dist_state, "client", None) is not None
+        except ImportError:  # private-API drift too: last resort
+            already = jax.process_count() > 1
     if already:
         return len(jax.devices())
     if coordinator_address:
