@@ -72,6 +72,49 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_LAST_PHASE = [T_START]
+
+
+def phase(name):
+    """Per-phase elapsed stderr line (round-4 VERDICT: the driver's core
+    stage ran 510.8s vs the builder's 159.9s and NOTHING before the K-chain
+    compile line was timestamped, so the 350s discrepancy could not be
+    diagnosed from the record). Call AFTER each block with its name."""
+    now = time.time()
+    log(f"[phase +{now - T_START:6.1f}s] {name}: {now - _LAST_PHASE[0]:.1f}s")
+    _LAST_PHASE[0] = now
+
+
+def compile_kind(elapsed_s, warm_below_s=20.0):
+    """Classify a compile: persistent-cache hit vs cold remote compile.
+    Warm hits deserialize locally (<~10s even for the K-chain); cold axon
+    compiles of the big programs run 60-170s."""
+    return "cache-hit" if elapsed_s < warm_below_s else "COLD-compile"
+
+
+def log_cache_state():
+    """Persistent-compile-cache + env diagnostics, so a driver run that
+    misses the cache (the leading hypothesis for round-4's +350s core) is
+    visible in the stderr record."""
+    d = "/root/repo/.jax_cache"
+    try:
+        names = os.listdir(d)
+        sizes = [os.stat(os.path.join(d, n)).st_size for n in names]
+        newest = max(
+            (os.stat(os.path.join(d, n)).st_mtime for n in names), default=0
+        )
+        age = time.time() - newest if names else float("nan")
+        log(
+            f"compile cache: {len(names)} entries, {sum(sizes) / 1e6:.0f} MB, "
+            f"newest {age / 60:.0f} min old"
+        )
+    except OSError as e:
+        log(f"compile cache: UNREADABLE ({e}) — all compiles will be cold")
+    for var in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COMPILATION_CACHE_DIR"):
+        if os.environ.get(var) is not None:
+            log(f"env {var}={os.environ[var]!r}")
+
+
 def emit(summary):
     """(Re-)print the cumulative one-line JSON summary. Called after the
     core stages and again after every optional stage — the last line wins
@@ -138,7 +181,10 @@ def _qwen_slot_tokens(model, texts, paras, n_qwen, T_b):
     )
 
 
-def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_tokens, bank, texts):
+def _qwen_full_stage(
+    model, defended_step, params, pixels, tokens, variant_tokens, bank, texts,
+    reduced=False,
+):
     """BASELINE config #4: variant generation in the loop.
 
     Per timed iteration (the honest cold path — everything a new query
@@ -208,11 +254,15 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
 
     t0 = time.time()
     one_iteration(0)
-    log(f"full-TVC compile+run ({B} queries x {n_qwen} qwen + host): {time.time() - t0:.1f}s")
+    dt = time.time() - t0
+    log(
+        f"full-TVC compile+run ({B} queries x {n_qwen} qwen + host): "
+        f"{dt:.1f}s [{compile_kind(dt, warm_below_s=30)}]"
+    )
     rtt = _probe_rtt()  # stage-local probe (RTT drifts; see _probe_rtt)
     log(f"tunnel RTT (full-TVC stage): {rtt * 1e3:.1f} ms")
     times = []
-    for it in range(3):
+    for it in range(1 if reduced else 3):
         t0 = time.time()
         one_iteration(it + 1)
         times.append(time.time() - t0)
@@ -223,17 +273,22 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     t_cold = max(float(np.median(times)) - 2 * rtt, 1e-9)
 
     # decompose: qwen decode alone (same batch), for the component table
-    t0 = time.time()
-    paras = qwen.generate_paraphrases_batch(
-        texts, n_qwen, seed=11, token_mask=ascii_mask
-    )
-    t_qwen = max(time.time() - t0 - rtt, 1e-9)
+    # (skipped when the budget forced the reduced variant — it re-measures
+    # a component, certifies nothing)
+    t_qwen = None
+    if not reduced:
+        t0 = time.time()
+        paras = qwen.generate_paraphrases_batch(
+            texts, n_qwen, seed=11, token_mask=ascii_mask
+        )
+        t_qwen = max(time.time() - t0 - rtt, 1e-9)
 
     full_cold_qps = B / t_cold
     log(
         f"full TVC (variant gen in loop): {full_cold_qps:.1f} q/s cold "
-        f"({t_cold / B * 1e3:.2f} ms/q total; qwen decode {t_qwen / B * 1e3:.2f} ms/q); "
-        f"steady (variants cached) = config #1 rate"
+        f"({t_cold / B * 1e3:.2f} ms/q total"
+        + (f"; qwen decode {t_qwen / B * 1e3:.2f} ms/q" if t_qwen else "")
+        + ")"
     )
 
     # pipelined cold serving: NOTHING is cached — every batch still pays
@@ -260,7 +315,7 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
     import os as _os
 
     _dbg = _os.environ.get("TVC_BENCH_PIPE_DEBUG")
-    n_pipe = 6
+    n_pipe = 3 if reduced else 6
     aggs = []
     t0 = time.time()  # BEFORE the first dispatch: its decode is paid work
     handle = qwen.generate_paraphrases_batch_async(
@@ -313,20 +368,71 @@ def _qwen_full_stage(model, defended_step, params, pixels, tokens, variant_token
         f"full TVC pipelined (double-buffered, nothing cached): "
         f"{full_pipelined_qps:.1f} q/s ({t_pipe / B * 1e3:.2f} ms/q)"
     )
+
+    # MEASURED steady state (round-4 VERDICT: full_steady_qps was DEFINED
+    # = config #1 rate, never timed). Steady = repeat queries whose
+    # variants are cached: the augmenter's md5 LRU holds the variant
+    # strings (tvc/augment/text_augment.py — the reference's md5-cache
+    # semantics, src/sd_ref.py:454-483) and the serving layer holds their
+    # token rows (a production server caches the post-tokenize tensors —
+    # re-tokenizing an identical string per repeat query is make-work).
+    # Timed loop per batch: B md5-keyed cache fetches + variant-tensor
+    # assembly + H2D + the SAME compiled defended step, batches dispatched
+    # back-to-back (async); all scores drain through the FIFO queue at the
+    # final readback; 1 RTT subtracted.
+    import hashlib
+
+    fin = qwen.generate_paraphrases_batch_async(
+        texts, n_qwen, seed=99, token_mask=ascii_mask
+    )
+    htok = _host_slot_tokens(model, texts, augmenter, n_host, T_b)
+    qtok = _qwen_slot_tokens(model, texts, fin(), n_qwen, T_b)
+    steady_rows = np.concatenate([qtok, htok, orig_tok], axis=1)  # [B, V, T_b]
+    vcache = {
+        hashlib.md5(t.encode()).hexdigest(): steady_rows[j]
+        for j, t in enumerate(texts)
+    }
+    n_steady = 4 if reduced else 10
+    rtt = _probe_rtt()
+    aggs = []
+    t0 = time.time()
+    for i in range(n_steady):
+        rows = [vcache[hashlib.md5(t.encode()).hexdigest()] for t in texts]
+        vt = jnp.asarray(np.stack(rows))
+        agg, _ = defended_step(params, pixels, tokens, vt, bank)
+        aggs.append(agg)
+    _ = float(aggs[-1][0])  # FIFO: the last readback drains every batch
+    t_steady = max((time.time() - t0 - rtt) / n_steady, 1e-9)
+    full_steady_qps = B / t_steady
+    log(
+        f"full TVC steady (variant-token cache warm, {n_steady} batches): "
+        f"{full_steady_qps:.1f} q/s ({t_steady / B * 1e3:.2f} ms/q) [measured]"
+    )
+
     return {
         "full_cold_qps": round(full_cold_qps, 2),
         "full_cold_vs_baseline": round(full_cold_qps / 52.3, 3),
         "full_cold_ms_per_query": round(t_cold / B * 1e3, 3),
         "full_pipelined_qps": round(full_pipelined_qps, 2),
         "full_pipelined_ms_per_query": round(t_pipe / B * 1e3, 3),
-        "qwen_ms_per_query": round(t_qwen / B * 1e3, 3),
+        "full_steady_qps": round(full_steady_qps, 2),
+        "full_steady_ms_per_query": round(t_steady / B * 1e3, 4),
+        **(
+            {
+                "qwen_ms_per_query": round(t_qwen / B * 1e3, 3),
+                "qwen_tok_per_s": round(
+                    B * n_qwen * qwen.max_new_tokens / t_qwen, 1
+                ),
+            }
+            if t_qwen is not None
+            else {}
+        ),
         "qwen_model": qwen.config.model_name,
         "qwen_paraphrases_per_query": n_qwen,
-        "qwen_tok_per_s": round(B * n_qwen * qwen.max_new_tokens / t_qwen, 1),
     }
 
 
-def _qwen7b_stage(n_prompts=192, n_qwen=3):
+def _qwen7b_stage(n_prompts=192, n_qwen=3, reduced=False):
     """Config #4 at reference spec scale: Qwen2-7B batched paraphrase
     decode (reference measured 3.2 ms/query on 6x RTX 4090,
     /root/reference/README.md:905; model list src/__init__.py:116-120).
@@ -363,11 +469,18 @@ def _qwen7b_stage(n_prompts=192, n_qwen=3):
 
         t0 = time.time()
         paras = qwen.generate_paraphrases_batch(texts, n_qwen)
-        log(f"qwen2-7b decode compile+run ({n_prompts}x{n_qwen}): {time.time() - t0:.1f}s")
+        dt = time.time() - t0
+        log(
+            f"qwen2-7b decode compile+run ({n_prompts}x{n_qwen}): {dt:.1f}s "
+            f"[{compile_kind(dt, warm_below_s=30)}]"
+        )
         rtt = _probe_rtt()  # fresh probe (see _probe_rtt)
         assert len(paras) == n_prompts
         times = []
-        for i in range(3):
+        # reduced: one timed decode instead of three (same compiled shapes
+        # — shrinking n_prompts would force a fresh multi-minute compile,
+        # the last thing a tight budget can afford)
+        for i in range(1 if reduced else 3):
             t0 = time.time()
             qwen.generate_paraphrases_batch(texts, n_qwen, seed=i)
             times.append(time.time() - t0)
@@ -394,7 +507,7 @@ def _qwen7b_stage(n_prompts=192, n_qwen=3):
         gc.collect()
 
 
-def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
+def _sd_genref_stage(model, texts, n_texts=32, n_refs=2, reduced=False):
     """BASELINE config #5: SD reference synthesis amortized through the
     embedding bank. Generates n_refs 256px/20-step images for n_texts
     unique queries (REAL COCO captions) in chunked batched diffusion
@@ -410,6 +523,10 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
 
     from tvc.models.sd import SDConfig, StableDiffusionModel
 
+    if reduced:
+        # fewer chunks of the SAME compiled diffusion program; 512px
+        # (a separate model + compile) is skipped below
+        n_texts = min(n_texts, 8)
     cfg = dataclasses.replace(SDConfig(), image_size=256)
     t0 = time.time()
     sd = StableDiffusionModel(cfg, seed=0)
@@ -417,7 +534,10 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
     log(f"sd init: {init_s:.1f}s (SD-1.5 shape @256px)")
     texts = list(texts)[:n_texts]
     chunk = 8
+    t0 = time.time()
     _ = sd.generate_images_batch(texts[:chunk], num_images=n_refs, seed=0)  # compile
+    dt = time.time() - t0
+    log(f"sd sampler compile+run: {dt:.1f}s [{compile_kind(dt, warm_below_s=20)}]")
     t0 = time.time()
     images = []
     for i in range(0, n_texts, chunk):
@@ -446,6 +566,8 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2):
     }
     del sd
     gc.collect()
+    if reduced:
+        return out
 
     # the reference's 512px contract, measured on a smaller sample (the
     # per-image cost is ~4x 256px; 8 images bound the added wall time)
@@ -489,6 +611,8 @@ def main():
             "device backend unreachable: jax.devices() hung >180s "
             "(axon tunnel down?)"
         )
+    phase("jax import + jax.devices() probe")
+    log_cache_state()
 
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # remote compiles of the Qwen decode / SD sampler programs
@@ -506,6 +630,7 @@ def main():
 
     backend = jax.default_backend()
     log(f"backend: {backend} devices: {jax.devices()}")
+    phase("tvc imports")
 
     import dataclasses
 
@@ -524,6 +649,7 @@ def main():
     model = CLIPModel(cfg, seed=0)
     module = model.inference_module
     D = cfg.embed_dim
+    phase(f"CLIP {cfg.model_name} init")
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -535,6 +661,7 @@ def main():
     from tvc.data.loaders import load_coco_captions
 
     texts = [c for _, c in load_coco_captions()[:B]]
+    phase("caption load")
     tokens = jnp.asarray(model.tokenize(texts))
     # config #1's pre-generated variants: host strategies on the real
     # captions (synonym/syntax/template), padded with the original
@@ -546,9 +673,11 @@ def main():
     _variants = [
         ((_aug.generate_variants(t, V) or [t]) * V)[:V] for t in texts
     ]
+    phase(f"host augmenter ({B} captions x {V} variants)")
     variant_tokens = jnp.asarray(
         np.stack([model.tokenize(vs) for vs in _variants])
     )  # [B, V, T]
+    phase("tokenize originals + variants")
     # sequence bucketing: captions are short; the text tower is
     # length-polymorphic (positional embeddings sliced, causal mask [T, T]),
     # so encode at the smallest 8-multiple covering the real tokens instead
@@ -570,11 +699,13 @@ def main():
     # on the MXU at ~2x the f32-input rate; ranking-grade scores (the
     # docs' bank-size scaling runs already serve bf16 banks at >= 1M rows)
     bank = l2_normalize(jax.random.normal(k2, (BANK_N, D))).astype(jnp.bfloat16)
+    phase(f"bank build ({BANK_N} rows)")
 
     params = model.params
     # pre-quantized int8 serving weights, threaded as a runtime argument
     # (single-dispatch latency then skips the in-trace re-quantization)
     qparams = model.qparams() if cfg.int8_serving else None
+    phase("int8 qparams")
 
     def _consistency_from(img, allf, bank):
         txt, var = allf[:, 0], allf[:, 1:]
@@ -722,7 +853,9 @@ def main():
     t0 = time.time()
     _, agg = run_chain(1)
     _ = float(agg[0])
-    log(f"K-chain compile+run: {time.time() - t0:.1f}s")
+    dt = time.time() - t0
+    log(f"K-chain compile+run: {dt:.1f}s [{compile_kind(dt, warm_below_s=40)}]")
+    phase("K-chain compile")
 
     # probe RTT AFTER the multi-minute compiles, right before the timing
     # loops that subtract it (RTT drifts; see _probe_rtt)
@@ -751,6 +884,7 @@ def main():
         f"({elapsed / n_chain * 1e3:.2f} ms/batch of {B}, {n_chain} chained steps, "
         f"window {elapsed:.2f}s)"
     )
+    phase("throughput loop")
 
     # -- latency percentiles (reference README.md:897-898) -------------------
     # per-batch latency distribution: repeated k=1 dispatch+readback minus
@@ -764,109 +898,25 @@ def main():
     lat_ms = np.asarray(lat) * 1e3
     p50, p99 = float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99))
     log(f"batch latency (B={B}): P50 {p50:.2f} ms  P99 {p99:.2f} ms")
+    phase("latency loop")
 
-    # detection AUROC: PGD-attacked vs clean under the same scores.
-    # Measured BEFORE the heavy 7B/SD stages: a failure there must not be
-    # able to poison the quality number (round-3 first full run OOMed at
-    # the 7B init and the cascade took the AUROC section down with it).
-    from tvc.attacks.pgd import PGDAttackConfig, _pgd_run
-    from tvc.metrics import DetectionEvaluator
-
-    n_adv = min(B, 64)
-    atk_cfg = PGDAttackConfig(num_steps=10)
-
-    grad_module = model.module  # einsum attention (fused kernel has no VJP)
-
-    def encode(p, px):
-        return l2_normalize(
-            grad_module.apply(
-                {"params": p}, normalize_pixels(px), method=CLIPModule.encode_image
-            )
-        )
-
-    txt_feats = l2_normalize(
-        module.apply({"params": params}, tokens[:n_adv], method=CLIPModule.encode_text)
-    )
-    log("compiling + running PGD...")
-    t0 = time.time()
-    run = jax.jit(lambda p, px, tf, k: _pgd_run(encode, atk_cfg, p, px, tf, tf, k))
-    adv, _ = run(params, pixels[:n_adv], txt_feats, k3)
-    jax.block_until_ready(adv)
-    log(f"PGD done: {time.time() - t0:.1f}s")
-
-    _, clean_agg = run_chain(1)
-    adv_pixels = jnp.concatenate([adv, pixels[n_adv:]], axis=0)
-    _, adv_agg = run_chain(1, adv_pixels)
-    labels = np.concatenate([np.zeros(n_adv), np.ones(n_adv)])
-    scores = np.concatenate(
-        [np.asarray(clean_agg[:n_adv]), np.asarray(adv_agg[:n_adv])]
-    )
-    auroc = DetectionEvaluator.auroc(labels, scores)
-    log(f"detection AUROC (PGD vs clean): {auroc:.4f}")
-
-    # hubness detect-under-attack (BASELINE config #3 names PGD + Hubness;
-    # reference-standard setting: eps=16/255, 500 iters, random query
-    # subsets — src/attacks/hubness_attack.py:48-55)
-    auroc_hub = None
-    if not small:
-        try:
-            from tvc.attacks.hubness import HubnessAttackConfig, _hubness_run
-
-            hub_cfg = HubnessAttackConfig()
-            Q = min(hub_cfg.num_target_queries, n_adv)
-            hk = jax.random.split(k4, n_adv)
-            qidx = jax.vmap(
-                lambda k: jax.random.choice(k, n_adv, shape=(Q,), replace=False)
-            )(hk)
-            queries = txt_feats[qidx]  # [n_adv, Q, D]
-            log("compiling + running hubness (500 iters)...")
-            t0 = time.time()
-            hub_run = jax.jit(
-                lambda p, px, q: _hubness_run(encode, hub_cfg, p, px, q)
-            )
-            hub_adv, _sims = hub_run(params, pixels[:n_adv], queries)
-            jax.block_until_ready(hub_adv)
-            log(f"hubness done: {time.time() - t0:.1f}s")
-            hub_pixels = jnp.concatenate([hub_adv, pixels[n_adv:]], axis=0)
-            _, hub_agg = run_chain(1, hub_pixels)
-            # Hubness RAISES similarity (src/attacks/hubness_attack.py:482-498),
-            # pushing the anomaly aggregate BELOW the clean band — the raw
-            # one-sided aggregate is anti-correlated with the attack (AUROC→0).
-            # Score it the way the shipped detector does (two-sided clean
-            # band, detector.calibrate_two_sided): anomaly = signed distance
-            # outside [lo, hi] quantiles of a clean HOLDOUT (rows n_adv:,
-            # disjoint from the evaluated clean rows).
-            hold = np.asarray(clean_agg[n_adv:])
-            lo, hi = np.quantile(hold, 0.005), np.quantile(hold, 0.995)
-            band = lambda s: np.maximum(s - hi, lo - s)
-            hub_scores = np.concatenate(
-                [band(np.asarray(clean_agg[:n_adv])), band(np.asarray(hub_agg[:n_adv]))]
-            )
-            auroc_hub = DetectionEvaluator.auroc(labels, hub_scores)
-            log(f"detection AUROC (hubness vs clean, two-sided band): {auroc_hub:.4f}")
-            del hub_adv, hub_pixels, hub_agg, queries
-        except Exception as e:
-            log(f"hubness stage failed: {type(e).__name__}: {e}")
-
-    # -- CORE summary: printed NOW (round-3 lesson: the optional stages must
-    # never be able to erase the perf record). Re-printed cumulatively after
-    # each optional stage; the driver parses the last JSON line.
+    # -- PERF summary: printed NOW, before the attack/AUROC sections (round-4
+    # lesson: a cold-cache driver run spent the whole budget inside "core" —
+    # which then included the PGD + hubness compiles — and every downstream
+    # stage skipped; the perf record must be on stdout the moment the
+    # throughput/latency loops finish). Re-printed cumulatively after each
+    # stage; the driver parses the LAST JSON line.
     baseline_qps = 52.3  # reference, 6x RTX 4090 (BASELINE.md)
     summary = {
         "metric": "defended_queries_per_sec",
         "value": round(float(qps), 2),
         "unit": "queries/s",
         "vs_baseline": round(float(qps) / baseline_qps, 3),
-        "auroc_pgd": round(float(auroc), 4),
-        **(
-            {"auroc_hubness": round(float(auroc_hub), 4)}
-            if auroc_hub is not None
-            else {}
-        ),
-        # steady-state full pipeline = config #1 rate (variants +
-        # SD references cached/bank-amortized, as the reference's
-        # md5 caches do)
+        # steady-state full pipeline: assumed = config #1 rate until the
+        # qwen_full stage MEASURES it through the variant-token cache
+        # surface (full_steady_provenance flips to "measured")
         "full_steady_qps": round(float(qps), 2),
+        "full_steady_provenance": "assumed_config1_rate",
         "latency_p50_ms": round(p50, 2),
         "latency_p99_ms": round(p99, 2),
         "latency_per_query_p50_ms": round(p50 / B, 4),
@@ -884,47 +934,164 @@ def main():
         # COCO val2017 caption text (16+32-token buckets, ~33% more text
         # tokens per batch) — the honest workload, not a regression
         "text_protocol": "real_coco_captions",
-        "core_elapsed_s": round(time.time() - T_START, 1),
+        "perf_elapsed_s": round(time.time() - T_START, 1),
         "budget_s": BUDGET_S,
     }
     emit(summary)
 
-    def stage_fits(name, est_s):
-        """Budget gate: only start an optional stage if its estimated cost
-        fits the remaining wall-clock (estimates are round-3 measured COLD
-        costs — the persistent compile cache only makes them cheaper)."""
+    def stage_mode(name, full_est_s, min_est_s=None):
+        """Budget gate with degradation: 'full' when the COLD-cost estimate
+        fits the remaining wall-clock, 'reduced' when only the stage's
+        degraded variant fits (fewer timed iterations / smaller sample,
+        SAME compiled shapes — a fresh compile is the last thing a tight
+        budget can afford), None to skip. Round-4 ran out of budget and
+        skipped every optional stage whole; a reduced stage still
+        certifies its number."""
         if small:
-            return False
+            return None
         rem = remaining_s()
-        if rem < est_s:
-            log(f"skipping {name}: est {est_s:.0f}s > remaining budget {rem:.0f}s")
-            summary.setdefault("stages_skipped", []).append(name)
-            return False
-        return True
+        if rem >= full_est_s:
+            return "full"
+        if min_est_s is not None and rem >= min_est_s:
+            log(
+                f"{name}: DEGRADED (remaining {rem:.0f}s < full est "
+                f"{full_est_s:.0f}s, >= min {min_est_s:.0f}s)"
+            )
+            summary.setdefault("stages_degraded", []).append(name)
+            return "reduced"
+        log(f"skipping {name}: min est {min_est_s or full_est_s:.0f}s > remaining {rem:.0f}s")
+        summary.setdefault("stages_skipped", []).append(name)
+        return None
+
+    def stage_fits(name, est_s):
+        return stage_mode(name, est_s) == "full"
+
+    # detection AUROC: PGD-attacked vs clean under the same scores.
+    # Measured before the heavy 7B/SD stages (a failure there must not
+    # poison the quality number) but gated on budget — its grad-program
+    # compile is ~60s cold, and the quality numbers regress rarely while
+    # the perf numbers are the round's headline.
+    adv = adv_pixels = clean_agg = adv_agg = txt_feats = scores = None
+    n_adv = min(B, 64)
+    if small or stage_mode("auroc_pgd", 70, 70) is not None:
+        from tvc.attacks.pgd import PGDAttackConfig, _pgd_run
+        from tvc.metrics import DetectionEvaluator
+
+        atk_cfg = PGDAttackConfig(num_steps=10)
+
+        grad_module = model.module  # einsum attention (fused kernel has no VJP)
+
+        def encode(p, px):
+            return l2_normalize(
+                grad_module.apply(
+                    {"params": p}, normalize_pixels(px), method=CLIPModule.encode_image
+                )
+            )
+
+        txt_feats = l2_normalize(
+            module.apply({"params": params}, tokens[:n_adv], method=CLIPModule.encode_text)
+        )
+        log("compiling + running PGD...")
+        t0 = time.time()
+        run = jax.jit(lambda p, px, tf, k: _pgd_run(encode, atk_cfg, p, px, tf, tf, k))
+        adv, _ = run(params, pixels[:n_adv], txt_feats, k3)
+        jax.block_until_ready(adv)
+        dt = time.time() - t0
+        log(f"PGD done: {dt:.1f}s [{compile_kind(dt)}]")
+
+        _, clean_agg = run_chain(1)
+        adv_pixels = jnp.concatenate([adv, pixels[n_adv:]], axis=0)
+        _, adv_agg = run_chain(1, adv_pixels)
+        labels = np.concatenate([np.zeros(n_adv), np.ones(n_adv)])
+        scores = np.concatenate(
+            [np.asarray(clean_agg[:n_adv]), np.asarray(adv_agg[:n_adv])]
+        )
+        auroc = DetectionEvaluator.auroc(labels, scores)
+        log(f"detection AUROC (PGD vs clean): {auroc:.4f}")
+        summary["auroc_pgd"] = round(float(auroc), 4)
+        phase("PGD AUROC")
+        emit(summary)
+
+    # hubness detect-under-attack (BASELINE config #3 names PGD + Hubness;
+    # reference-standard setting: eps=16/255, 500 iters, random query
+    # subsets — src/attacks/hubness_attack.py:48-55)
+    if not small and clean_agg is not None and stage_mode("auroc_hubness", 90, 90):
+        try:
+            from tvc.attacks.hubness import HubnessAttackConfig, _hubness_run
+
+            hub_cfg = HubnessAttackConfig()
+            Q = min(hub_cfg.num_target_queries, n_adv)
+            hk = jax.random.split(k4, n_adv)
+            qidx = jax.vmap(
+                lambda k: jax.random.choice(k, n_adv, shape=(Q,), replace=False)
+            )(hk)
+            queries = txt_feats[qidx]  # [n_adv, Q, D]
+            log("compiling + running hubness (500 iters)...")
+            t0 = time.time()
+            hub_run = jax.jit(
+                lambda p, px, q: _hubness_run(encode, hub_cfg, p, px, q)
+            )
+            hub_adv, _sims = hub_run(params, pixels[:n_adv], queries)
+            jax.block_until_ready(hub_adv)
+            dt = time.time() - t0
+            log(f"hubness done: {dt:.1f}s [{compile_kind(dt)}]")
+            hub_pixels = jnp.concatenate([hub_adv, pixels[n_adv:]], axis=0)
+            _, hub_agg = run_chain(1, hub_pixels)
+            # Hubness RAISES similarity (src/attacks/hubness_attack.py:482-498),
+            # pushing the anomaly aggregate BELOW the clean band — the raw
+            # one-sided aggregate is anti-correlated with the attack (AUROC→0).
+            # Score it the way the shipped detector does (two-sided clean
+            # band, detector.calibrate_two_sided): anomaly = signed distance
+            # outside [lo, hi] quantiles of a clean HOLDOUT (rows n_adv:,
+            # disjoint from the evaluated clean rows).
+            hold = np.asarray(clean_agg[n_adv:])
+            lo, hi = np.quantile(hold, 0.005), np.quantile(hold, 0.995)
+            band = lambda s: np.maximum(s - hi, lo - s)
+            hub_scores = np.concatenate(
+                [band(np.asarray(clean_agg[:n_adv])), band(np.asarray(hub_agg[:n_adv]))]
+            )
+            auroc_hub = DetectionEvaluator.auroc(labels, hub_scores)
+            log(f"detection AUROC (hubness vs clean, two-sided band): {auroc_hub:.4f}")
+            summary["auroc_hubness"] = round(float(auroc_hub), 4)
+            del hub_adv, hub_pixels, hub_agg, queries
+            phase("hubness AUROC")
+            emit(summary)
+        except Exception as e:
+            log(f"hubness stage failed: {type(e).__name__}: {e}")
+
+    summary["core_elapsed_s"] = round(time.time() - T_START, 1)
+    emit(summary)
 
     # -- config #4: full TVC with variant generation in the loop --------------
     # (before the legacy img-only number: the real workload stages own the
     # budget priority)
-    if "--skip-qwen" not in sys.argv and stage_fits("qwen_full", 180):
+    mode = "--skip-qwen" not in sys.argv and stage_mode("qwen_full", 180, 120)
+    if mode:
         try:
             summary.update(
                 _qwen_full_stage(
                     model, defended_step, params, pixels, tokens,
-                    variant_tokens, bank, texts,
+                    variant_tokens, bank, texts, reduced=(mode == "reduced"),
                 )
             )
+            summary["full_steady_provenance"] = "measured"
         except Exception as e:
             log(f"qwen full stage failed: {type(e).__name__}: {e}")
             summary["full_error"] = f"{type(e).__name__}: {e}"[:200]
             del e
             import gc; gc.collect()
+        phase("qwen_full stage")
         emit(summary)
 
     # -- round-1-comparable number: the old protocol only varied pixels per
     # iteration, so XLA hoisted the text encodes + bank top-k out of the
     # loop — effectively measuring the image path alone. Measured so
-    # BENCH_r01's 9.7k q/s has an apples-to-apples successor.
-    if stage_fits("image_path_only", 80):
+    # BENCH_r01's 9.7k q/s has an apples-to-apples successor. LOWEST
+    # priority of the optional stages (it certifies nothing the VERDICT
+    # asks for) but it must run before the cleanup block below frees its
+    # inputs — so it additionally reserves the 7B + SD stages' warm costs
+    # (~75 + ~100s) on top of its own estimate.
+    if remaining_s() >= 80 + 175 and stage_fits("image_path_only", 80):
         if bucket is not None:
 
             @jax.jit
@@ -972,11 +1139,12 @@ def main():
     if not small:
         del bank, pixels, variant_tokens, adv, adv_pixels, clean_agg, adv_agg
         del agg, txt_feats, scores, qparams  # ~150 MB int8 weights
-        clearable = [defended_k, _defended_step_jit, run]
+        clearable = [defended_k, _defended_step_jit]
         if bucket is not None:
             del short_tok, long_tok, inv_perm
-        if "hub_run" in locals():
-            clearable.append(locals()["hub_run"])
+        for name in ("hub_run", "run"):
+            if name in locals():
+                clearable.append(locals()[name])
         for f in clearable:
             try:
                 f.clear_cache()
@@ -986,14 +1154,20 @@ def main():
 
         gc.collect()
 
-    if "--skip-7b" not in sys.argv and "--skip-qwen" not in sys.argv and stage_fits("qwen7b", 100):
+    mode = (
+        "--skip-7b" not in sys.argv
+        and "--skip-qwen" not in sys.argv
+        and stage_mode("qwen7b", 100, 70)
+    )
+    if mode:
         try:
-            summary.update(_qwen7b_stage())
+            summary.update(_qwen7b_stage(reduced=(mode == "reduced")))
         except Exception as e:
             log(f"qwen2-7b stage failed: {type(e).__name__}: {e}")
             summary["qwen7b_error"] = f"{type(e).__name__}: {e}"[:200]
             del e  # drop the traceback now: its frames pin device buffers
             import gc; gc.collect()
+        phase("qwen7b stage")
         emit(summary)
 
     # -- config #5: SD genref amortized through the bank ----------------------
@@ -1002,12 +1176,14 @@ def main():
     # stages ran warm — needs an SD code change without a re-warm run; a
     # fully cold cache slows the CORE stages first, so rem at this gate is
     # already < est and the stage skips gracefully.
-    if "--skip-sd" not in sys.argv and stage_fits("sd_genref", 100):
+    mode = "--skip-sd" not in sys.argv and stage_mode("sd_genref", 100, 70)
+    if mode:
         try:
-            summary.update(_sd_genref_stage(model, texts))
+            summary.update(_sd_genref_stage(model, texts, reduced=(mode == "reduced")))
         except Exception as e:
             log(f"sd genref stage failed: {type(e).__name__}: {e}")
             summary["sd_error"] = f"{type(e).__name__}: {e}"[:200]
+        phase("sd_genref stage")
         emit(summary)
 
     summary["elapsed_s"] = round(time.time() - T_START, 1)

@@ -154,3 +154,107 @@ def test_hubness_base_runs(model, data):
     )
     assert res.adv_images.shape == np.asarray(images).shape
     assert res.perturbation_linf.max() <= 16 / 255 + 1e-5
+
+
+@pytest.mark.slow
+def test_eot_variant_samples_steering(model, data):
+    """EOT: M independent defender variant draws — constraints hold and a
+    heavy penalty still steers the EXPECTED aggregate toward the band."""
+    images, texts, variants, refs = data
+    lo, hi, _ = _clean_band(model, data)
+    cfg = AdaptiveAttackConfig(
+        epsilon=16 / 255, alpha=2 / 255, num_steps=30,
+        band_lower=lo, band_upper=hi,
+    )
+    attacker = AdaptiveAttacker(model, cfg)
+    samples = [
+        [[f"draw {m} version {j} of object {i}" for j in range(2)]
+         for i in range(len(texts))]
+        for m in range(3)
+    ]
+    res0 = attacker.attack(
+        images, texts, variants, refs, penalty_weight=0.0,
+        variant_samples=samples,
+    )
+    res_hi = attacker.attack(
+        images, texts, variants, refs, penalty_weight=25.0,
+        variant_samples=samples,
+    )
+    for res in (res0, res_hi):
+        assert res.adv_images.min() >= 0.0 and res.adv_images.max() <= 1.0
+        assert res.perturbation_linf.max() <= 16 / 255 + 1e-5
+
+    def band_dist(s):
+        return np.maximum(s - hi, lo - s).clip(min=0.0)
+
+    d0 = band_dist(res0.info["final_aggregated"]).mean()
+    dhi = band_dist(res_hi.info["final_aggregated"]).mean()
+    assert d0 > 0.0 and dhi < 0.5 * d0
+
+
+@pytest.mark.slow
+def test_strong_pass_in_artifact(model, data):
+    images, texts, variants, refs = data
+    from tvc.detector import AdversarialDetector, DetectorConfig
+
+    det = AdversarialDetector(model, DetectorConfig(use_fused_step=False))
+    clean = det.detect_batch(images, texts, variants=variants).aggregated_score
+    calls = []
+
+    def sampler():
+        calls.append(1)
+        return [[f"fresh {len(calls)} of {t}"] for t in texts]
+
+    out = run_adaptive_evaluation(
+        model, det, images, texts, variants, refs, clean,
+        base="pgd",
+        sweep=(0.0, 2.0),
+        attack_config=AdaptiveAttackConfig(
+            epsilon=16 / 255, alpha=2 / 255, num_steps=10
+        ),
+        score_batch=lambda adv: det.detect_batch(
+            adv, texts, variants=variants
+        ).aggregated_score,
+        variant_sampler=sampler,
+        eot_samples=2,
+        strong_steps=20,
+    )
+    s = out["strong"]
+    assert s["penalty_weight"] == 2.0  # the only λ>0 in the sweep
+    assert s["num_steps"] == 20 and s["eot_samples"] == 2
+    assert len(calls) == 2
+    assert 0.0 <= s["evasion_success_rate"] <= 1.0
+
+
+def test_adaptive_text_attacker_band_tradeoff(model, data):
+    """λ>0 must never yield a WORSE band distance than λ=0 on the replica's
+    own scoring, and constraints (word budget, semantics) hold."""
+    from tvc.attacks.adaptive import AdaptiveTextAttacker
+    from tvc.attacks.text_attack import TextAttackConfig
+
+    images, texts, variants, refs = data
+    lo, hi, _ = _clean_band(model, data)
+
+    def score_fn(img, cand_texts):
+        # replica: plain cos(image, text) as the "aggregate" — enough to
+        # exercise the candidate-scoring path deterministically
+        f = np.asarray(model.encode_image(np.asarray(img)[None]))[0]
+        return np.asarray(model.encode_text(list(cand_texts))) @ f
+
+    band = (float(lo), float(hi))
+    res0 = AdaptiveTextAttacker(
+        model, score_fn, TextAttackConfig(min_text_similarity=0.0),
+        penalty_weight=0.0, band=band,
+    ).attack(images[:3], texts[:3])
+    res1 = AdaptiveTextAttacker(
+        model, score_fn, TextAttackConfig(min_text_similarity=0.0),
+        penalty_weight=5.0, band=band,
+    ).attack(images[:3], texts[:3])
+    for res in (res0, res1):
+        assert len(res.adv_texts) == 3
+        for orig, adv, nch in zip(
+            res.original_texts, res.adv_texts, res.num_words_changed
+        ):
+            assert nch <= max(1, int(len(orig.split()) * 0.3))
+    # heavier penalty keeps the replica score at least as close to the band
+    assert res1.info["inside_band"].mean() >= res0.info["inside_band"].mean() - 1e-9

@@ -209,3 +209,49 @@ def test_lazy_strategy_skip_matches_full_pool():
         for s in old_aug.strategies.values():
             raw.extend(s.augment(t, 3))
         assert new == old_aug._filter(t, raw)[:3]
+
+
+def test_variant_cache_hits_and_eviction():
+    aug = TextAugmenter(TextAugmentConfig(max_variants=3, cache_size=2, seed=0))
+    first = aug.generate_variants("a big dog runs fast across the field", 3)
+    again = aug.generate_variants("a big dog runs fast across the field", 3)
+    assert again == first  # steady state: identical variants, no re-run
+    assert aug.stats["cache_hits"] == 1
+    again[0] = "mutated"  # caller mutation must not poison the cache
+    assert aug.generate_variants("a big dog runs fast across the field", 3) == first
+    # LRU eviction at cache_size=2: two new keys evict the oldest
+    aug.generate_variants("a red car drives down the road", 3)
+    aug.generate_variants("a small cat sits on the mat", 3)
+    hits = aug.stats["cache_hits"]
+    aug.generate_variants("a big dog runs fast across the field", 3)  # evicted
+    assert aug.stats["cache_hits"] == hits
+    aug.clear_cache()
+    assert not aug._cache
+
+
+def test_batch_async_skips_decode_for_cached_texts():
+    decoded = []
+
+    class Gen:
+        def __call__(self, text, n):
+            return [f"paraphrase {i} of this text right here" for i in range(n)]
+
+        def batch(self, texts, n):
+            decoded.extend(texts)
+            return [[f"paraphrase {i} of {t} okay" for i in range(n)] for t in texts]
+
+    aug = TextAugmenter(
+        TextAugmentConfig(
+            enable_synonym_replacement=False,
+            enable_syntax_transformation=False,
+            enable_template=False,
+        ),
+        paraphrase_generator=Gen(),
+    )
+    texts = ["a man walks along the shore", "a woman rides a blue bicycle"]
+    out1 = aug.batch_generate_variants(texts, 2)
+    assert decoded == texts
+    # second batch: one cached text + one new — only the new one decodes
+    out2 = aug.batch_generate_variants([texts[0], "a bird flies over the lake"], 2)
+    assert decoded == texts + ["a bird flies over the lake"]
+    assert out2[0] == out1[0]

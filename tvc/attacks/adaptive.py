@@ -90,13 +90,33 @@ def aggregated_score_fn(
     sims -> tvc/core/consistency.detect): the attacker's gradient flows
     through the same math the defender scores with. ``refs`` are the
     text-retrieved bank rows — constant w.r.t. the image, so no
-    straight-through estimators are needed anywhere."""
+    straight-through estimators are needed anywhere.
+
+    ``var_feats``/``var_mask`` may carry an EOT axis — [B, M, V, D] /
+    [B, M, V]: M independent draws from the defender's variant-sampling
+    randomness. The returned aggregate is then [M, B] (one defender
+    hypothesis per row); expectation-over-transformation attacks average
+    their penalty over M."""
+    eot = var_feats.ndim == 4
 
     def agg(adv_pixels: Array) -> Array:
         img = encode(params, adv_pixels)  # [B, D] L2-normalized
         orig = jnp.sum(img * txt_feats, axis=-1)  # [B]
-        vsims = jnp.einsum("bd,bvd->bv", img, var_feats)
         rsims = jnp.einsum("bd,brd->br", img, refs)
+        if eot:
+            B, M, V, _ = var_feats.shape
+            vsims = jnp.einsum("bd,bmvd->bmv", img, var_feats)
+            # fold the M defender draws into the batch: ONE C.detect call
+            _, aggregated, _ = C.detect(
+                jnp.tile(orig, M),
+                vsims.transpose(1, 0, 2).reshape(M * B, V),
+                jnp.tile(rsims, (M, 1)),
+                variant_mask=var_mask.transpose(1, 0, 2).reshape(M * B, V),
+                ref_mask=jnp.tile(ref_mask, (M, 1)),
+                weights=weights,
+            )
+            return aggregated.reshape(M, B)
+        vsims = jnp.einsum("bd,bvd->bv", img, var_feats)
         _, aggregated, _ = C.detect(
             orig,
             vsims,
@@ -169,7 +189,10 @@ def _adaptive_run(
         final_obj = jnp.einsum("bd,bqd->bq", img, queries).mean(axis=-1)
     else:
         final_obj = final_sims
-    return adv, final_sims, final_obj, agg_of(adv)
+    agg = agg_of(adv)
+    if agg.ndim == 2:  # EOT: report the expectation over defender draws
+        agg = agg.mean(axis=0)
+    return adv, final_sims, final_obj, agg
 
 
 class AdaptiveAttacker:
@@ -192,6 +215,7 @@ class AdaptiveAttacker:
         query_pool: Optional[Sequence[str]] = None,
         penalty_weight: Optional[float] = None,
         gallery_feats: Optional[np.ndarray] = None,
+        variant_samples: Optional[Sequence[Sequence[Sequence[str]]]] = None,
     ) -> AttackResult:
         """``variants``: the per-query variant texts the attacker knows
         (white-box: the defender's augmenter output or a sample from the
@@ -201,7 +225,10 @@ class AdaptiveAttacker:
         hubness-base success criterion is the real hubness score (fraction
         of queries whose top-1 over gallery ∪ {adv} is adv,
         tvc/attacks/hubness.hubness_score) > 0.5, else mean query sim >
-        0.5."""
+        0.5. ``variant_samples``: M independent draws [M][B][V] from the
+        defender's variant-sampling randomness — the attack then averages
+        its band penalty over all M (expectation over transformation), so
+        it cannot overfit the one sample the defender won't reuse."""
         cfg = self.config
         t0 = time.time()
         pixels = jnp.asarray(prepare_images(self.model, images))
@@ -209,17 +236,28 @@ class AdaptiveAttacker:
         txt_feats = jnp.asarray(self.model.encode_text(list(texts)))
         D = txt_feats.shape[-1]
 
-        V = max(len(v) for v in variants) if variants else 1
-        var_feats = np.zeros((B, max(V, 1), D), np.float32)
-        var_mask = np.zeros((B, max(V, 1)), bool)
-        flat = [v for vl in variants for v in vl]
+        samples = (
+            [list(s) for s in variant_samples]
+            if variant_samples is not None
+            else [list(variants)]
+        )
+        M = len(samples)
+        V = max(
+            (len(v) for s in samples for v in s), default=1
+        )
+        var_feats = np.zeros((B, M, max(V, 1), D), np.float32)
+        var_mask = np.zeros((B, M, max(V, 1)), bool)
+        flat = [v for s in samples for vl in s for v in vl]
         if flat:
             emb = np.asarray(self.model.encode_text(flat))
             pos = 0
-            for b, vl in enumerate(variants):
-                var_feats[b, : len(vl)] = emb[pos : pos + len(vl)]
-                var_mask[b, : len(vl)] = True
-                pos += len(vl)
+            for m, s in enumerate(samples):
+                for b, vl in enumerate(s):
+                    var_feats[b, m, : len(vl)] = emb[pos : pos + len(vl)]
+                    var_mask[b, m, : len(vl)] = True
+                    pos += len(vl)
+        if M == 1:  # single-sample path keeps the original [B, V, D] program
+            var_feats, var_mask = var_feats[:, 0], var_mask[:, 0]
 
         refs = np.asarray(refs, np.float32)
         ref_mask = np.any(refs != 0, axis=-1)
@@ -301,8 +339,135 @@ def create_adaptive_attacker(
     return AdaptiveAttacker(model, config)
 
 
-#: default λ sweep for the harness mode — 0 is the oblivious baseline
-DEFAULT_PENALTY_SWEEP = (0.0, 0.3, 1.0, 3.0, 10.0)
+class AdaptiveTextAttacker:
+    """Defense-aware text attack (round-4 VERDICT item 5: the adaptive
+    evaluation covered image-space bases only).
+
+    TextFooler-style greedy synonym substitution (tvc/attacks/text_attack.py;
+    reference src/attacks/text_attack.py:88-500) whose candidate score is
+
+        cos(image, candidate_text)  +  λ · band_dist(aggregated(candidate))
+
+    — the attacker minimizes image-text similarity WHILE keeping the
+    white-box TVC aggregate inside the calibrated clean band. The aggregate
+    is computed by ``score_fn(image, candidate_texts) -> scores``: the
+    attacker's own replica of the full defense (variants of the CANDIDATE
+    text, retrieval by the candidate's embedding — everything the defender
+    would recompute for the perturbed query; reference scoring under
+    attack: src/detector.py:441-590). Candidates per step are scored in
+    one batched call."""
+
+    def __init__(
+        self,
+        model: CLIPModel,
+        score_fn,
+        config=None,
+        penalty_weight: float = 1.0,
+        band: tuple = (0.0, 1.0),
+    ):
+        from tvc.attacks.text_attack import TextAttackConfig
+
+        self.model = model
+        self.config = config or TextAttackConfig()
+        self.score_fn = score_fn
+        self.lam = float(penalty_weight)
+        self.band_lower, self.band_upper = float(band[0]), float(band[1])
+
+    def _band_dist(self, s: np.ndarray) -> np.ndarray:
+        return np.maximum(s - self.band_upper, self.band_lower - s)
+
+    def attack_single(self, image, text: str):
+        from tvc.attacks.text_attack import STOPWORDS, get_synonyms
+
+        cfg = self.config
+        img = np.asarray(image)
+        image_feat = np.asarray(self.model.encode_image(img[None]))[0]
+
+        def sims(cands):
+            return np.asarray(self.model.encode_text(list(cands))) @ image_feat
+
+        def combined(cands):
+            s = sims(cands)
+            pen = self._band_dist(np.asarray(self.score_fn(img, list(cands))))
+            return s + self.lam * np.maximum(pen, 0.0), s
+
+        words = text.split()
+        idxs = [
+            i
+            for i, w in enumerate(words)
+            if len(w) >= cfg.min_word_length
+            and not (cfg.preserve_stopwords and w.lower() in STOPWORDS)
+        ]
+        cur_total, cur_sim = combined([text])
+        cur_total, cur_sim = float(cur_total[0]), float(cur_sim[0])
+        if not idxs:
+            return text, {"similarity": cur_sim, "changed": 0}
+        orig_text_feat = np.asarray(self.model.encode_text([text]))[0]
+        # word importance by deletion drop (batched plain sims — importance
+        # ranking needs no defense replica)
+        deleted = [" ".join(words[:i] + words[i + 1 :]) for i in idxs]
+        importance = cur_sim - sims(deleted)
+        order = [idxs[j] for j in np.argsort(-importance)]
+
+        budget = max(1, int(len(words) * cfg.max_perturbation_ratio))
+        current, changed = list(words), 0
+        for i in order:
+            if changed >= budget:
+                break
+            syns = get_synonyms(words[i].lower(), cfg.num_synonyms)
+            if not syns:
+                continue
+            cands = []
+            for s in syns:
+                c = list(current)
+                c[i] = s
+                cands.append(" ".join(c))
+            totals, cand_sims = combined(cands)
+            text_sims = np.asarray(self.model.encode_text(cands)) @ orig_text_feat
+            totals = np.where(text_sims >= cfg.min_text_similarity, totals, np.inf)
+            best = int(np.argmin(totals))
+            if totals[best] < cur_total:
+                current[i] = syns[best]
+                cur_total, cur_sim = float(totals[best]), float(cand_sims[best])
+                changed += 1
+        final = " ".join(current)
+        agg = float(np.asarray(self.score_fn(img, [final]))[0])
+        return final, {
+            "similarity": cur_sim,
+            "changed": changed,
+            "aggregated": agg,
+            "inside_band": bool(self._band_dist(np.asarray([agg]))[0] <= 0),
+        }
+
+    def attack(self, images, texts: Sequence[str]):
+        from tvc.attacks.text_attack import TextAttackResult
+
+        t0 = time.time()
+        adv_texts, sims, changed, inside = [], [], [], []
+        for image, text in zip(list(images), texts):
+            adv, info = self.attack_single(image, text)
+            adv_texts.append(adv)
+            sims.append(info["similarity"])
+            changed.append(info["changed"])
+            inside.append(info.get("inside_band", False))
+        sims = np.asarray(sims)
+        return TextAttackResult(
+            adv_texts=adv_texts,
+            original_texts=list(texts),
+            success=sims < self.config.success_threshold,
+            final_similarity=sims,
+            num_words_changed=np.asarray(changed),
+            info={
+                "elapsed": time.time() - t0,
+                "inside_band": np.asarray(inside),
+                "penalty_weight": self.lam,
+            },
+        )
+
+
+#: default λ sweep for the harness mode — 0 is the oblivious baseline; the
+#: grid is densest around the measured knee (λ ∈ [1, 3], round-4 sweep)
+DEFAULT_PENALTY_SWEEP = (0.0, 0.3, 1.0, 1.5, 2.0, 3.0, 10.0)
 
 
 def run_adaptive_evaluation(
@@ -319,6 +484,9 @@ def run_adaptive_evaluation(
     attack_config: Optional[AdaptiveAttackConfig] = None,
     score_batch=None,
     gallery_feats: Optional[np.ndarray] = None,
+    variant_sampler=None,
+    eot_samples: int = 4,
+    strong_steps: int = 500,
 ) -> Dict[str, Any]:
     """Full adaptive-attack evaluation against a calibrated detector.
 
@@ -336,7 +504,15 @@ def run_adaptive_evaluation(
       (max(s-hi, lo-s)), the shipped decision statistic;
     * ``evasion_success_rate`` — attack succeeded AND not detected: the
       number that actually matters against an adaptive adversary.
-    """
+
+    After the sweep, a STRONG pass re-attacks at the λ with the best
+    evasion rate using ``strong_steps`` PGD steps and — when
+    ``variant_sampler`` (a zero-arg callable returning one fresh [B][V]
+    variant draw) is given — expectation-over-transformation across
+    ``eot_samples`` independent defender variant draws, so the attacker
+    cannot overfit a single variant sample (round-4 VERDICT item 5). Its
+    result lands in ``out["strong"]``; the defense claim should be read
+    off that row, not the 100-step sweep."""
     from tvc.metrics import DetectionEvaluator
 
     lo = float(np.quantile(clean_scores, 0.005))
@@ -353,26 +529,15 @@ def run_adaptive_evaluation(
 
     n = len(texts)
     labels = np.concatenate([np.zeros(n), np.ones(n)])
-    out: Dict[str, Any] = {
-        "band": [lo, hi],
-        "base": base,
-        "epsilon": cfg.epsilon,
-        "num_steps": cfg.num_steps,
-        "sweep": {},
-    }
-    for lam in sweep:
-        res = attacker.attack(
-            images, texts, variants, refs,
-            query_pool=query_pool, penalty_weight=lam,
-            gallery_feats=gallery_feats,
-        )
+
+    def eval_attack(res) -> Dict[str, Any]:
         adv_scores = np.asarray(score_batch(res.adv_images))
         detected = band_dist(adv_scores) > 0
         auroc = DetectionEvaluator.auroc(
             labels, np.concatenate([band_dist(clean_scores), band_dist(adv_scores)])
         )
         success = res.success
-        out["sweep"][str(lam)] = {
+        return {
             "attack_success_rate": float(np.mean(success)),
             "detection_rate": float(np.mean(detected)),
             "auroc_band": float(auroc),
@@ -387,5 +552,53 @@ def run_adaptive_evaluation(
                 if res.info.get("hubness_scores") is not None
                 else {}
             ),
+        }
+
+    out: Dict[str, Any] = {
+        "band": [lo, hi],
+        "base": base,
+        "epsilon": cfg.epsilon,
+        "num_steps": cfg.num_steps,
+        "sweep": {},
+    }
+    for lam in sweep:
+        res = attacker.attack(
+            images, texts, variants, refs,
+            query_pool=query_pool, penalty_weight=lam,
+            gallery_feats=gallery_feats,
+        )
+        out["sweep"][str(lam)] = eval_attack(res)
+
+    if strong_steps and strong_steps > cfg.num_steps:
+        # best λ for the attacker = highest evasion, ties broken toward
+        # lower band-AUROC (harder for the defense)
+        rows = [(k, v) for k, v in out["sweep"].items() if float(k) > 0]
+        best_lam = float(
+            max(
+                rows,
+                key=lambda kv: (
+                    kv[1]["evasion_success_rate"],
+                    -kv[1]["auroc_band"],
+                ),
+            )[0]
+        )
+        eot = (
+            [variant_sampler() for _ in range(eot_samples)]
+            if variant_sampler is not None
+            else None
+        )
+        strong_attacker = AdaptiveAttacker(
+            model, dataclasses.replace(cfg, num_steps=int(strong_steps))
+        )
+        res = strong_attacker.attack(
+            images, texts, variants, refs,
+            query_pool=query_pool, penalty_weight=best_lam,
+            gallery_feats=gallery_feats, variant_samples=eot,
+        )
+        out["strong"] = {
+            "penalty_weight": best_lam,
+            "num_steps": int(strong_steps),
+            "eot_samples": len(eot) if eot else 1,
+            **eval_attack(res),
         }
     return out

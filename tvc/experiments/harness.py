@@ -717,6 +717,24 @@ class ExperimentHarness:
         # hubness success criterion: the hub must actually WIN queries
         # against a gallery — the clean eval images are the gallery
         gallery = np.asarray(self.model.encode_image(self.images))
+
+        # fresh defender-randomness draws for the strong pass's EOT:
+        # independent augmenter seeds, cache off (the production augmenter
+        # LRU would otherwise return the SAME variants every call)
+        _eot_seed = [1000]
+
+        def variant_sampler():
+            _eot_seed[0] += 1
+            aug = TextAugmenter(
+                TextAugmentConfig(
+                    seed=_eot_seed[0],
+                    cache_enabled=False,
+                    enable_paraphrase_generation=False,
+                    enable_back_translation=False,
+                )
+            )
+            return aug.batch_generate_variants(list(self.texts), V)
+
         out: Dict[str, Any] = {}
         for base in self.config.attacks:
             if base not in ("pgd", "hubness"):
@@ -736,7 +754,53 @@ class ExperimentHarness:
                     adv, list(self.texts)
                 ).scores,
                 gallery_feats=gallery,
+                variant_sampler=variant_sampler,
             )
+
+        # adaptive TEXT-space attack: defense-aware TextFooler whose
+        # candidate score adds λ x band-distance of the white-box replica's
+        # aggregate (the defender re-derives variants/references from the
+        # PERTURBED text, so the replica scores candidates through the
+        # production pipeline itself)
+        from tvc.attacks.adaptive import AdaptiveTextAttacker
+        from tvc.attacks.text_attack import TextAttackConfig
+
+        lo = float(np.quantile(clean_scores, 0.005))
+        hi = float(np.quantile(clean_scores, 0.995))
+
+        def replica_score(img, cand_texts):
+            reps = np.repeat(np.asarray(img)[None], len(cand_texts), axis=0)
+            return pipe.process_batch(reps, list(cand_texts)).scores
+
+        band_dist = lambda s: np.maximum(s - hi, lo - s)
+        n_txt = min(len(self.texts), 16)  # host-greedy search: bound cost
+        txt_rows = {}
+        for lam in (0.0, 1.0):
+            atk = AdaptiveTextAttacker(
+                self.model,
+                replica_score,
+                TextAttackConfig(min_text_similarity=0.6),
+                penalty_weight=lam,
+                band=(lo, hi),
+            )
+            tres = atk.attack(self.images[:n_txt], list(self.texts)[:n_txt])
+            adv_scores = np.asarray(
+                pipe.process_batch(self.images[:n_txt], tres.adv_texts).scores
+            )
+            detected = band_dist(adv_scores) > 0
+            txt_rows[str(lam)] = {
+                "attack_success_rate": float(np.mean(tres.success)),
+                "detection_rate": float(np.mean(detected)),
+                "evasion_success_rate": float(np.mean(tres.success & ~detected)),
+                "mean_final_similarity": float(np.mean(tres.final_similarity)),
+                "mean_words_changed": float(np.mean(tres.num_words_changed)),
+            }
+        out["text"] = {
+            "band": [lo, hi],
+            "base": "text",
+            "num_samples": n_txt,
+            "sweep": txt_rows,
+        }
         return {"adaptive_attack": out}
 
     def run_comprehensive(self) -> Dict[str, Any]:
