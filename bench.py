@@ -61,7 +61,7 @@ import numpy as np
 #      line is RE-printed (the driver parses the last JSON line, so even a
 #      kill mid-stage leaves the latest complete summary on stdout).
 T_START = time.time()
-BUDGET_S = float(os.environ.get("TVC_BENCH_BUDGET_S", "510"))
+BUDGET_S = float(os.environ.get("TVC_BENCH_BUDGET_S", "540"))
 
 
 def remaining_s():
@@ -614,6 +614,31 @@ def main():
     phase("jax import + jax.devices() probe")
     log_cache_state()
 
+    # phase 0: one tiny dispatch+readback BEFORE any real work, with a
+    # liveness watchdog. The axon tunnel has transient brownout windows
+    # (observed 2026-08-19: 424s and >460s stalls on a fresh process's
+    # first readback, healthy 27ms RTT minutes later) — absorbing the
+    # stall here puts it on its own phase line instead of smearing it
+    # into whichever core phase first touches the device.
+    import jax.numpy as _jnp
+
+    _rb_done = threading.Event()
+    _rb_t0 = time.time()
+
+    def _watchdog():
+        while not _rb_done.wait(30):
+            log(
+                f"tunnel warmup readback pending {time.time() - _rb_t0:.0f}s "
+                "(brownout?)"
+            )
+
+    _wd = threading.Thread(target=_watchdog, daemon=True)
+    _wd.start()
+    _ = float(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 8)))[0, 0])
+    _rb_done.set()
+    tunnel_warmup_s = time.time() - _rb_t0
+    phase("tunnel warmup (first dispatch+readback)")
+
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # remote compiles of the Qwen decode / SD sampler programs
     try:
@@ -662,7 +687,7 @@ def main():
 
     texts = [c for _, c in load_coco_captions()[:B]]
     phase("caption load")
-    tokens = jnp.asarray(model.tokenize(texts))
+    tokens_np = np.asarray(model.tokenize(texts))
     # config #1's pre-generated variants: host strategies on the real
     # captions (synonym/syntax/template), padded with the original
     _aug = TextAugmenter(
@@ -674,9 +699,7 @@ def main():
         ((_aug.generate_variants(t, V) or [t]) * V)[:V] for t in texts
     ]
     phase(f"host augmenter ({B} captions x {V} variants)")
-    variant_tokens = jnp.asarray(
-        np.stack([model.tokenize(vs) for vs in _variants])
-    )  # [B, V, T]
+    variant_tokens_np = np.stack([model.tokenize(vs) for vs in _variants])  # [B, V, T]
     phase("tokenize originals + variants")
     # sequence bucketing: captions are short; the text tower is
     # length-polymorphic (positional embeddings sliced, causal mask [T, T]),
@@ -684,16 +707,22 @@ def main():
     # of the full 77-token context — text FLOPs drop ~4.8x at 10-token
     # captions (variant encode is the biggest defended-step stage).
     # real length = EOT position + 1 (EOT is the highest id; counting
-    # nonzeros undercounts when id 0 = '!' appears mid-sequence)
+    # nonzeros undercounts when id 0 = '!' appears mid-sequence).
+    # Bucketing runs on the HOST tokenize output: the previous
+    # np.asarray(device_tokens) here was the run's first device->host
+    # readback, and a tunnel brownout (observed 424s / >460s stalls) would
+    # park the whole bench on a line that needs nothing from the device.
     real_len = int(
         max(
-            np.asarray(tokens).argmax(-1).max() + 1,
-            np.asarray(variant_tokens).argmax(-1).max() + 1,
+            tokens_np.argmax(-1).max() + 1,
+            variant_tokens_np.argmax(-1).max() + 1,
         )
     )
-    T_b = min(((real_len + 7) // 8) * 8, tokens.shape[-1])
-    tokens = tokens[:, :T_b]
-    variant_tokens = variant_tokens[:, :, :T_b]
+    T_b = min(((real_len + 7) // 8) * 8, tokens_np.shape[-1])
+    tokens_np = tokens_np[:, :T_b]
+    variant_tokens_np = variant_tokens_np[:, :, :T_b]
+    tokens = jnp.asarray(tokens_np)
+    variant_tokens = jnp.asarray(variant_tokens_np)
     log(f"text bucket: {T_b} tokens (real max {real_len})")
     # bf16 bank rows: the 131k x 512 top-k matmul runs bf16 x bf16 -> f32
     # on the MXU at ~2x the f32-input rate; ranking-grade scores (the
@@ -758,7 +787,7 @@ def main():
     # lengths vary per batch, and each distinct capacity C would cost a
     # multi-minute axon recompile.
     all_tok_np = np.concatenate(
-        [np.asarray(tokens)[:, None, :], np.asarray(variant_tokens)], axis=1
+        [tokens_np[:, None, :], variant_tokens_np], axis=1
     ).reshape(B * (V + 1), T_b)
     # dedup=True: each DISTINCT token row encodes once (variant batches
     # repeat rows — the augmenter pads shortfalls with the original; 6.7%
@@ -935,6 +964,9 @@ def main():
         # tokens per batch) — the honest workload, not a regression
         "text_protocol": "real_coco_captions",
         "perf_elapsed_s": round(time.time() - T_START, 1),
+        # time the first readback spent waiting on the tunnel (brownout
+        # accounting: wall-clock lost to infrastructure, not to the bench)
+        "tunnel_warmup_s": round(tunnel_warmup_s, 1),
         "budget_s": BUDGET_S,
     }
     emit(summary)

@@ -3,10 +3,12 @@
 
 Protocol (mirrors the reference's committed artifact,
 /root/reference results/comprehensive_defense_evaluation/
-four_scenarios_1754481353.json — COCO, n=50):
+four_scenarios_1754481353.json — COCO; the reference used n=50):
 
-- trained tiny-CLIP COCO fixture (tvc/fixtures.py), REAL COCO val2017
-  caption text, n=50, seven attack rows: pgd / hubness / fgsm / cw /
+- trained tiny-CLIP COCO fixture (tvc/fixtures.py — geometry-regularized
+  so hubness is a live attack, see geometry_regularizer), REAL COCO
+  val2017 caption text, n=200 (round-4 VERDICT item 6: n=50 made FPR 0.04
+  mean '2 of 50'; every rate/AUROC row now carries a 95% bootstrap CI), seven attack rows: pgd / hubness / fgsm / cw /
   fsta / sma plus ``cw_ref`` — one C&W run at the reference's exact
   spec (1000 iterations x 9 binary-search steps,
   src/attacks/cw_attack.py:30-36).
@@ -35,7 +37,7 @@ def main() -> None:
         HarnessConfig(
             experiment_mode="four_scenarios",
             attacks=("pgd", "hubness", "fgsm", "cw", "fsta", "sma", "cw_ref"),
-            num_samples=50,
+            num_samples=200,
         )
     )
     results = harness.run()

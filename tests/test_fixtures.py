@@ -196,3 +196,20 @@ def test_harness_bank_is_encoded_dataset():
     # first eval images are in the bank (same dataset window)
     sims = want @ emb.T
     assert np.allclose(sims.max(axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_coco_fixture_hub_capable_geometry():
+    """The COCO quality fixture must keep real-CLIP-like embedding
+    geometry (tvc/fixtures.geometry_regularizer): a text-anisotropy cone
+    plus a cross-modal gap. Without it, hubness quality rows grade a
+    geometrically impossible attack (round-4 VERDICT item 4: plain
+    contrastive collapse capped hub hijack at ~3/100)."""
+    from tvc.fixtures import evaluate_fixture_coco, load_trained_tiny_coco
+
+    model = load_trained_tiny_coco(train_if_missing=False)
+    m = evaluate_fixture_coco(model)
+    assert m["retrieval_accuracy"] >= 0.92, m
+    assert m["cross_text_cos"] >= 0.4, m       # caption cone exists
+    assert m["galmax_mean"] <= 0.45, m         # modality gap exists
+    assert m["hub_feasible_frac"] >= 0.5, m    # hubs are geometrically possible

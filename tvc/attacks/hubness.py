@@ -48,6 +48,15 @@ class HubnessAttackConfig:
     success_threshold: float = 0.84
     norm_type: str = "linf"  # linf | l2
     seed: int = 0
+    #: ``mean_sim`` is the paper/reference objective (maximize mean cos to
+    #: the query set, src/attacks/hubness_attack.py:671-674). ``win_hinge``
+    #: is the stronger gallery-aware white-box objective: maximize a smooth
+    #: count of queries the hub actually WINS (sigmoid((cos(adv,q) -
+    #: best_gallery(q) - margin)/tau)) — mean-sim wastes capacity raising
+    #: already-lost queries; requires build_reference_database(images=...)
+    objective: str = "mean_sim"  # mean_sim | win_hinge
+    win_margin: float = 0.02
+    win_tau: float = 0.05
 
     @classmethod
     def from_dict(cls, d: dict) -> "HubnessAttackConfig":
@@ -97,7 +106,18 @@ class HubnessAttack:
             lambda k: jax.random.choice(k, M, shape=(Q,), replace=False)
         )(jax.random.split(key, B))
         queries = pool[idx]  # [B, Q, E]
-        adv, mean_sims = self._run(self.model.params, pixels, queries)
+        gal_best = None
+        if self.config.objective == "win_hinge":
+            if self._gallery_img is None:
+                raise ValueError(
+                    "objective='win_hinge' needs the gallery: call "
+                    "build_reference_database(images=...) first"
+                )
+            g = l2_normalize(self._gallery_img)
+            gal_best = jnp.einsum(
+                "bqe,ne->bqn", l2_normalize(queries), g
+            ).max(axis=-1)  # [B, Q]
+        adv, mean_sims = self._run(self.model.params, pixels, queries, gal_best)
 
         hub_scores = None
         if self._gallery_img is not None:
@@ -144,13 +164,27 @@ class HubnessAttack:
         return self.stats.get_stats()
 
 
-def _hubness_run(encode, cfg: HubnessAttackConfig, params, pixels: Array, queries: Array):
-    """queries: [B, Q, E] per-sample target query features."""
+def _hubness_run(
+    encode,
+    cfg: HubnessAttackConfig,
+    params,
+    pixels: Array,
+    queries: Array,
+    gal_best: Optional[Array] = None,
+):
+    """queries: [B, Q, E] per-sample target query features; ``gal_best``
+    [B, Q] = each query's best gallery cosine (win_hinge objective only)."""
     q = l2_normalize(queries)
 
     def objective(adv):
         feats = encode(params, adv)  # [B, E]
         sims = jnp.einsum("be,bqe->bq", feats, q)  # [B, Q]
+        if cfg.objective == "win_hinge" and gal_best is not None:
+            # smooth hijack count: reward crossing each query's own
+            # gallery bar instead of raising the unwinnable mean
+            return jnp.mean(
+                jax.nn.sigmoid((sims - gal_best - cfg.win_margin) / cfg.win_tau)
+            )
         return jnp.mean(sims)  # maximize mean sim == minimize reference loss
 
     grad_fn = jax.grad(objective)

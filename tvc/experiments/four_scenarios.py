@@ -274,8 +274,12 @@ class FourScenariosExperiment:
             adv = res.adv_images
             afeat = np.asarray(self.model.encode_image(adv))
             sims = np.sum(afeat * tfeat, axis=-1)
-            sim_success = float(np.mean(sims < UNTARGETED_SUCCESS_SIM))
-            rank_acc = self._retrieval_accuracy(adv, texts)
+            sim_ind = sims < UNTARGETED_SUCCESS_SIM  # per-sample indicator
+            sim_success = float(np.mean(sim_ind))
+            rank_ind = (
+                np.argmax(afeat @ tfeat.T, axis=1) != np.arange(len(texts))
+            )
+            rank_acc = 1.0 - float(np.mean(rank_ind))
             retrieval_success = 1.0 - rank_acc
             if name == "hubness":
                 # headline = mean hubness score: the fraction of held-out
@@ -296,12 +300,14 @@ class FourScenariosExperiment:
                     float(np.mean(hub)) if hub is not None
                     else float(np.mean(res.success))
                 )
+                headline_ind = hub if hub is not None else res.success
             elif name in self.SIMILARITY_CRITERION_ATTACKS:
-                headline = sim_success
+                headline, headline_ind = sim_success, sim_ind
             else:
-                headline = retrieval_success
+                headline, headline_ind = retrieval_success, rank_ind
             out[name] = {
                 "attack_success_rate": headline,
+                "attack_success_rate_ci": self._rate_ci(headline_ind),
                 #: secondary columns: both criteria always reported
                 "similarity_attack_success": sim_success,
                 "retrieval_attack_success": retrieval_success,
@@ -334,6 +340,40 @@ class FourScenariosExperiment:
                 )
         return out
 
+    @staticmethod
+    def _rate_ci(indicators: np.ndarray) -> list:
+        """95% bootstrap CI for a per-sample rate (tvc/metrics.bootstrap_ci;
+        reference src/utils/metrics.py:789-876). Round-4 VERDICT item 6:
+        at n=50 an FPR of 0.04 means '2 of 50' — every rate row now carries
+        its interval."""
+        from tvc.metrics import bootstrap_ci
+
+        _, lo, hi = bootstrap_ci(np.asarray(indicators, np.float64))
+        return [float(lo), float(hi)]
+
+    @staticmethod
+    def _auroc_ci(
+        clean_det: np.ndarray, adv_det: np.ndarray, n_boot: int = 500, seed: int = 0
+    ) -> list:
+        """95% stratified-bootstrap CI for AUROC (clean and adversarial
+        samples resampled independently, AUROC recomputed per resample)."""
+        rng = np.random.default_rng(seed)
+        n, m = len(clean_det), len(adv_det)
+        labels = np.concatenate([np.zeros(n), np.ones(m)])
+        vals = [
+            DetectionEvaluator.auroc(
+                labels,
+                np.concatenate(
+                    [
+                        clean_det[rng.integers(0, n, n)],
+                        adv_det[rng.integers(0, m, m)],
+                    ]
+                ),
+            )
+            for _ in range(n_boot)
+        ]
+        return [float(np.quantile(vals, 0.025)), float(np.quantile(vals, 0.975))]
+
     def scenario_2_clean_no_defense(self, images, texts) -> Dict[str, Any]:
         t0 = time.time()
         acc = self._retrieval_accuracy(images, texts)
@@ -365,6 +405,7 @@ class FourScenariosExperiment:
             kept_acc = 0.0
         return {
             "false_positive_rate": fpr,
+            "false_positive_rate_ci": self._rate_ci(res.is_adversarial),
             "defense_time": defense_time,
             # relative overhead = extra time / baseline time (comparable to
             # the reference's measured 0.246 relative overhead,
@@ -404,12 +445,15 @@ class FourScenariosExperiment:
                 [clean_det, self._detection_scores(res.scores, clean_scores)]
             )
             auroc = DetectionEvaluator.auroc(labels, det_scores)
+            adv_det = self._detection_scores(res.scores, clean_scores)
             out[name] = {
                 "detection_rate": detection_rate,
+                "detection_rate_ci": self._rate_ci(res.is_adversarial),
                 # defense success = attacks caught (reference defines defense
                 # success as 1 - post-defense ASR; detected == neutralized)
                 "defense_success_rate": detection_rate,
                 "auroc": float(auroc),
+                "auroc_ci": self._auroc_ci(clean_det, adv_det),
                 "auroc_one_sided": float(DetectionEvaluator.auroc(labels, raw)),
                 "mean_adv_score": float(res.scores.mean()),
             }

@@ -205,9 +205,20 @@ def train_clip_fixture(
 def evaluate_fixture_coco(model, n: int = 50, skip: int = 0) -> Dict[str, float]:
     """Quality metrics on HELD-OUT real COCO captions (never trained on):
     text->image top-1 retrieval within the n-batch over rendered pairs,
-    plus defense-relevant variant similarity."""
+    defense-relevant variant similarity, and the embedding-geometry stats
+    the hubness evaluation depends on (see ``geometry_regularizer``):
+
+    * ``cross_text_cos`` — mean pairwise cos over a disjoint caption pool
+      (text-embedding anisotropy; real CLIP caption corpora sit ~0.5-0.7,
+      contrastive-uniformity collapse sits ~0);
+    * ``galmax_mean`` — mean over pool queries of their best gallery-image
+      cos (the bar an adversarial hub must beat);
+    * ``hub_feasible_frac`` — fraction of pool queries the single best hub
+      DIRECTION (top eigenvector of the query gram) would win: a geometric
+      upper bound on hubness-attack hijack, independent of the image
+      encoder's reachable set."""
     from tvc.data import DataConfig
-    from tvc.data.loaders import COCOCaptionsDataset
+    from tvc.data.loaders import COCOCaptionsDataset, load_coco_captions
 
     ds = COCOCaptionsDataset(
         DataConfig(image_size=model.config.image_size, max_samples=n), skip=skip
@@ -224,11 +235,63 @@ def evaluate_fixture_coco(model, n: int = 50, skip: int = 0) -> Dict[str, float]
         variants = _augmented_captions(t, rng)[1:6]
         vf = np.asarray(model.encode_text(variants))
         vsims.append(float(np.mean(vf @ tf)))
+    pool_caps = [
+        c for _, c in load_coco_captions()[skip + n : skip + n + 2 * 100]
+        if c not in set(texts)
+    ][:100]
+    qf = np.asarray(model.encode_text(pool_caps))
+    off = (qf @ qf.T)[~np.eye(len(qf), dtype=bool)]
+    galmax = (qf @ ifeat.T).max(-1)
+    _, vecs = np.linalg.eigh(qf.T @ qf)
+    qu = qf @ vecs[:, -1]
     return {
         "retrieval_accuracy": acc,
         "pair_similarity": float(np.mean(np.diag(sims))),
         "variant_similarity": float(np.mean(vsims)),
+        "cross_text_cos": float(off.mean()),
+        "galmax_mean": float(galmax.mean()),
+        "hub_feasible_frac": max(
+            float(np.mean(qu > galmax)), float(np.mean(-qu > galmax))
+        ),
     }
+
+
+def geometry_regularizer(
+    img, txt, target_aniso=0.5, pair_cap=0.55, xmodal_floor=0.10, weight=3.0
+):
+    """Keep the fixture's embedding geometry at real-CLIP statistics.
+
+    Plain contrastive training on a tiny corpus collapses to uniformity:
+    text embeddings go near-orthogonal (measured cross-caption cos 0.004 at
+    convergence) and cross-modal pair sims saturate (0.89) — a geometry in
+    which an adversarial hub provably cannot win more than ~3 of 100
+    orthogonal queries (unit-norm: Σ cos² ≤ 1), so every hubness number
+    grades a non-attack (round-4 VERDICT item 4). Real CLIP is the
+    opposite regime: caption embeddings share a narrow anisotropic cone
+    (pairwise cos ~0.5-0.7) with a cross-modal modality gap (pair sims
+    ~0.3-0.5) — which is exactly why image hubs that hijack most queries
+    exist (arXiv 2412.14113 measures 0.84). Two hinge terms reproduce it:
+    mean off-diagonal text cos ≥ ``target_aniso`` and mean pair sim ≤
+    ``pair_cap``. Measured result (4000 steps): retrieval 1.0, pair 0.51,
+    cross-text 0.50, query→gallery max 0.26, hub feasibility 0.09 → 1.0.
+    """
+    import jax.numpy as jnp
+
+    B = txt.shape[0]
+    g = txt @ txt.T
+    off = (g.sum() - jnp.trace(g)) / (B * (B - 1))
+    x = img @ txt.T
+    pair = jnp.mean(jnp.diagonal(x))
+    # off-pair cross-modal baseline: with a TOTAL gap (floor 0) the image
+    # manifold is orthogonal to the text cone and no perturbation can move
+    # an image toward it (measured: hub attack plateaued at adv·cone≈0.07,
+    # hijack 0.23); real CLIP's random image-text cos sits ~0.15-0.25
+    xoff = (x.sum() - jnp.trace(x)) / (B * (B - 1))
+    return weight * (
+        jnp.maximum(target_aniso - off, 0.0)
+        + jnp.maximum(pair - pair_cap, 0.0)
+        + jnp.maximum(xmodal_floor - xoff, 0.0)
+    )
 
 
 def train_clip_fixture_coco(
@@ -240,6 +303,8 @@ def train_clip_fixture_coco(
     eval_every: int = 500,
     noise: float = 0.03,
     log: Optional[Callable[[str], None]] = None,
+    eval_fn: Optional[Callable] = None,
+    extra_loss: Optional[Callable] = geometry_regularizer,
 ):
     """Train tiny_coco CLIP on REAL COCO captions + caption-conditioned
     rendered images (round-2 VERDICT item 4: every quality artifact used
@@ -286,7 +351,9 @@ def train_clip_fixture_coco(
         0.0, learning_rate, warmup_steps=200, decay_steps=steps
     )
     optimizer = optax.adamw(schedule)
-    step_fn, opt_state = make_train_step(model, mesh, optimizer)
+    step_fn, opt_state = make_train_step(
+        model, mesh, optimizer, extra_loss=extra_loss
+    )
 
     rng = np.random.default_rng(seed)
     params = model.params
@@ -309,7 +376,7 @@ def train_clip_fixture_coco(
         )
         if step % eval_every == 0 or step == steps:
             model.params = params
-            m = evaluate_fixture_coco(model)
+            m = (eval_fn or evaluate_fixture_coco)(model)
             m.update(step=step, loss=float(loss), seconds=time.time() - t0)
             history.append(m)
             if log:
@@ -319,7 +386,15 @@ def train_clip_fixture_coco(
                     f"variant_sim {m['variant_similarity']:.3f}"
                 )
             final_metrics = m
-            if m["retrieval_accuracy"] >= target_accuracy:
+            # early stop needs BOTH quality bars: retrieval AND (when the
+            # geometry regularizer is active and the eval reports it)
+            # real-CLIP-like text anisotropy — a fixture that stops before
+            # the cone forms resists hubness for the wrong reason
+            geom_ok = (
+                extra_loss is not geometry_regularizer
+                or m.get("cross_text_cos", 1.0) >= 0.45
+            )
+            if m["retrieval_accuracy"] >= target_accuracy and geom_ok:
                 break
     model.params = params
     final_metrics["history"] = history

@@ -494,12 +494,18 @@ def make_train_step(
     model: CLIPModel,
     mesh: Mesh,
     optimizer: Optional[optax.GradientTransformation] = None,
+    extra_loss: Optional[Callable] = None,
 ) -> Tuple[Callable, Any]:
     """CLIP contrastive training step, data-parallel over the mesh.
 
     Returns (jitted step, initial optimizer state). Loss is symmetric
     InfoNCE over the global batch (logits [B, B] computed from sharded
     embeddings — XLA all-gathers as needed from the shardings).
+
+    ``extra_loss(img_feats, txt_feats) -> scalar`` is added to the
+    contrastive loss when given — e.g. an embedding-geometry regularizer
+    (tvc/fixtures.py uses it to keep the quality fixture's text-embedding
+    anisotropy at real-CLIP levels instead of contrastive-uniformity ones).
     """
     module = model.module
     optimizer = optimizer or optax.adamw(1e-5)
@@ -513,7 +519,10 @@ def make_train_step(
         labels = jnp.arange(B)
         li = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
         lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
-        return 0.5 * (li + lt)
+        loss = 0.5 * (li + lt)
+        if extra_loss is not None:
+            loss = loss + extra_loss(img, txt)
+        return loss
 
     def step(params, opt_state, pixels, tokens):
         loss, grads = jax.value_and_grad(loss_fn)(params, pixels, tokens)
