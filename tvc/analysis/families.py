@@ -251,6 +251,19 @@ def adaptive_attack_table(res: Dict[str, Any]) -> List[Dict[str, Any]]:
                     ),
                 }
             )
+        strong = r.get("strong")
+        if isinstance(strong, dict):
+            rows.append(
+                {
+                    "attack": f"{base} (strong: {strong.get('num_steps')} "
+                    f"steps, EOT={strong.get('eot_samples')})",
+                    "lambda": strong.get("penalty_weight"),
+                    "attack_success": strong.get("attack_success_rate"),
+                    "detection_rate": strong.get("detection_rate"),
+                    "auroc_band": strong.get("auroc_band"),
+                    "evasion_success": strong.get("evasion_success_rate"),
+                }
+            )
     return _fmt_rows(rows)
 
 

@@ -57,6 +57,14 @@ class HubnessAttackConfig:
     objective: str = "mean_sim"  # mean_sim | win_hinge
     win_margin: float = 0.02
     win_tau: float = 0.05
+    #: MI-FGSM-style momentum (Dong et al. 2018): accumulate the
+    #: L1-normalized gradient and step on the accumulator's sign. Plain
+    #: sign-PGD oscillates at this objective's optimum — measured on the
+    #: geometry-regularized fixture: mean hijack 0.37 plain vs 0.90 with
+    #: momentum (top seed 0.55 vs 1.00). On by default: a defense
+    #: evaluation must face the strongest attack.
+    use_momentum: bool = True
+    momentum: float = 0.9
 
     @classmethod
     def from_dict(cls, d: dict) -> "HubnessAttackConfig":
@@ -190,12 +198,26 @@ def _hubness_run(
     grad_fn = jax.grad(objective)
     project = linf_project if cfg.norm_type == "linf" else l2_project
 
-    def body(_, adv):
-        g = grad_fn(adv)
-        adv = adv + cfg.alpha * jnp.sign(g)
-        return project(adv, pixels, cfg.epsilon)
+    if cfg.use_momentum:
 
-    adv = jax.lax.fori_loop(0, cfg.num_iterations, body, pixels)
+        def body(_, state):
+            adv, m = state
+            g = grad_fn(adv)
+            m = cfg.momentum * m + g / (jnp.mean(jnp.abs(g)) + 1e-12)
+            adv = project(adv + cfg.alpha * jnp.sign(m), pixels, cfg.epsilon)
+            return adv, m
+
+        adv, _ = jax.lax.fori_loop(
+            0, cfg.num_iterations, body, (pixels, jnp.zeros_like(pixels))
+        )
+    else:
+
+        def body(_, adv):
+            g = grad_fn(adv)
+            adv = adv + cfg.alpha * jnp.sign(g)
+            return project(adv, pixels, cfg.epsilon)
+
+        adv = jax.lax.fori_loop(0, cfg.num_iterations, body, pixels)
     final = jnp.einsum("be,bqe->bq", encode(params, adv), q).mean(axis=-1)
     return adv, final
 

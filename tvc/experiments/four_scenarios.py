@@ -663,6 +663,16 @@ class FourScenariosExperiment:
                     "successful_scenarios": 4,
                     "failed_scenarios": 0,
                 },
+                # the headline rows run attacks at full fixture-scaled
+                # strength and mostly saturate — treat them as a REGRESSION
+                # FLOOR; detection quality discriminates in the
+                # epsilon_sweep (ROC curves per ε) and the adaptive_attack
+                # mode (defense-aware attacker), not here
+                "headline_note": (
+                    "saturated rows are a regression floor; see "
+                    "epsilon_sweep and the adaptive_attack mode for the "
+                    "discriminating signal"
+                ),
                 "key_metrics": self._summary(s1, s2, s3, s4),
                 **self._summary(s1, s2, s3, s4),
             },
