@@ -71,6 +71,12 @@ class AdaptiveAttackConfig:
     clip_min: float = 0.0
     clip_max: float = 1.0
     seed: int = 0
+    #: MI-FGSM momentum (Dong et al. 2018) — plain sign ascent oscillates
+    #: on the hubness-style objectives (measured mean hijack 0.37 plain vs
+    #: 0.90 with momentum on the geometry-regularized fixture); the
+    #: evaluation must field the strongest attacker
+    use_momentum: bool = True
+    momentum: float = 0.9
 
 
 def aggregated_score_fn(
@@ -176,11 +182,25 @@ def _adaptive_run(
         )
         adv0 = jnp.clip(pixels + noise, cfg.clip_min, cfg.clip_max)
 
-    def body(_, adv):
-        adv = adv + cfg.alpha * jnp.sign(grad_fn(adv))  # ascend
-        return linf_project(adv, pixels, cfg.epsilon)
+    if cfg.use_momentum:
 
-    adv = jax.lax.fori_loop(0, cfg.num_steps, body, adv0)
+        def body(_, state):
+            adv, m = state
+            g = grad_fn(adv)
+            m = cfg.momentum * m + g / (jnp.mean(jnp.abs(g)) + 1e-12)
+            adv = linf_project(adv + cfg.alpha * jnp.sign(m), pixels, cfg.epsilon)
+            return adv, m
+
+        adv, _ = jax.lax.fori_loop(
+            0, cfg.num_steps, body, (adv0, jnp.zeros_like(adv0))
+        )
+    else:
+
+        def body(_, adv):
+            adv = adv + cfg.alpha * jnp.sign(grad_fn(adv))  # ascend
+            return linf_project(adv, pixels, cfg.epsilon)
+
+        adv = jax.lax.fori_loop(0, cfg.num_steps, body, adv0)
     img = encode(params, adv)
     final_sims = jnp.sum(img * txt_feats, axis=-1)
     # per-sample base-objective value: mean query sim (hubness) — the
