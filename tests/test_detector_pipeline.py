@@ -392,3 +392,40 @@ def test_process_stream_matches_process_batch(clip):
         np.testing.assert_allclose(
             np.asarray(got.scores), np.asarray(want.scores), atol=1e-5
         )
+
+
+def test_hub_probe_scores_and_flags(clip, data):
+    """Hub-probe branch (set_hub_probe / calibrate_hub_probe): a feature at
+    the probe cone's center scores far above clean images; an armed +
+    calibrated detector flags via the probe and reports its details."""
+    images, texts = data
+    probe_caps = [f"a held out probe caption number {i} of things" for i in range(24)]
+    det = AdversarialDetector(clip, DetectorConfig())
+    det.set_hub_probe(texts=probe_caps, top_m=4)
+    thr = det.calibrate_hub_probe(images, quantile=0.9)
+    assert np.isfinite(thr)
+
+    # a perfect hub: the normalized probe-pool mean direction
+    pe = np.asarray(clip.encode_text(probe_caps))
+    hub_feat = pe.mean(0) / np.linalg.norm(pe.mean(0))
+    clean_feats = np.asarray(clip.encode_image(images))
+    s_hub = det.hub_probe_scores(hub_feat[None])[0]
+    s_clean = det.hub_probe_scores(clean_feats)
+    assert s_hub > s_clean.max() + 0.1
+
+    # integration: armed detector reports the probe in detect_batch details
+    res = det.detect_batch(images, texts, variants=[[t] for t in texts])
+    assert "hub_probe_score" in res.details
+    assert res.details["hub_probe_threshold"] == thr
+    # clean queries: the probe alone must not blanket-flag (quantile 0.9
+    # leaves <= ~10% above threshold by construction)
+    assert (res.details["hub_probe_score"] > thr).mean() <= 0.25
+
+
+def test_hub_probe_unarmed_is_inert(clip, data):
+    images, texts = data
+    det = AdversarialDetector(clip, DetectorConfig())
+    res = det.detect_batch(images, texts, variants=[[t] for t in texts])
+    assert "hub_probe_score" not in res.details
+    with pytest.raises(ValueError):
+        det.hub_probe_scores(np.zeros((1, clip.config.embed_dim), np.float32))

@@ -152,7 +152,59 @@ class AdversarialDetector:
         self.threshold_manager = ThresholdManager(self.config.detection_threshold)
         self._cache: Dict[str, Any] = {}
         self._serving = None  # (key, jitted step) lazy cache
+        self._probe = None  # [P, D] hub-probe caption embeddings
+        self._probe_top_m = 8
+        self._probe_threshold = None
         self.stats = {"detections": 0, "adversarial_detected": 0, "cache_hits": 0}
+
+    # -- hub probe (tvc extension; see docs/adaptive_attack.md) ---------------
+    def set_hub_probe(self, texts=None, embeddings=None, top_m: int = 8):
+        """Arm the hub-probe branch: an adversarial *hub* image must align
+        with the caption embedding cone to hijack retrieval (the hubness
+        attack objective, arXiv 2412.14113) — so its similarity to ANY
+        held-out caption pool is anomalously high, including captions the
+        attacker never saw. The probe scores each query image by the mean
+        of its top-``top_m`` cosines to a secret caption pool (one tiny
+        [B,D]x[D,P] matmul on the serving features — no extra tower
+        dispatch) and flags scores above a clean-calibrated threshold.
+        This is the per-query dual of the hubness literature's
+        k-occurrence statistic, and it is the statistic the white-box
+        band-evading hub CANNOT keep low: suppressing it suppresses the
+        hub itself (measured: docs/adaptive_attack.md)."""
+        import jax.numpy as jnp
+
+        if embeddings is None:
+            if not texts:
+                raise ValueError("set_hub_probe needs texts or embeddings")
+            embeddings = self.model.encode_text(list(texts))
+        emb = np.array(embeddings, np.float32)  # copy: encode outputs are read-only
+        emb /= np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        self._probe = jnp.asarray(emb)
+        self._probe_top_m = int(min(top_m, emb.shape[0]))
+        return self
+
+    def hub_probe_scores(self, img_feats) -> np.ndarray:
+        """Mean of each image feature's top-m cosines to the probe pool."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._probe is None:
+            raise ValueError("hub probe not armed: call set_hub_probe first")
+
+        @jax.jit
+        def _score(img, probe):
+            sims = img @ probe.T  # [B, P]
+            top, _ = jax.lax.top_k(sims, self._probe_top_m)
+            return jnp.mean(top, axis=-1)
+
+        return np.asarray(_score(jnp.asarray(img_feats), self._probe))
+
+    def calibrate_hub_probe(self, clean_images, quantile: float = 0.995) -> float:
+        """Set the probe threshold from clean queries' probe scores."""
+        feats = np.asarray(self.model.encode_image(self._raw_pixels(clean_images)))
+        scores = self.hub_probe_scores(feats)
+        self._probe_threshold = float(np.quantile(scores, quantile))
+        return self._probe_threshold
 
     # -- embedding assembly --------------------------------------------------
     def _embed_variants(
@@ -419,6 +471,13 @@ class AdversarialDetector:
         )
         flags = np.asarray(out["is_adversarial"])[:B_real]
         agg = np.asarray(out["aggregated"])[:B_real]
+        probe_scores = None
+        if self._probe is not None:
+            # hub-probe branch on the serving features the step already
+            # computed (no extra tower dispatch; see set_hub_probe)
+            probe_scores = self.hub_probe_scores(out["img"])[:B_real]
+            if self._probe_threshold is not None:
+                flags = flags | (probe_scores > self._probe_threshold)
         self.stats["detections"] += len(texts)
         self.stats["adversarial_detected"] += int(flags.sum())
         return DetectionResult(
@@ -439,6 +498,14 @@ class AdversarialDetector:
                 ),
                 "fused": True,
                 "mesh": mesh is not None,
+                **(
+                    {
+                        "hub_probe_score": probe_scores,
+                        "hub_probe_threshold": self._probe_threshold,
+                    }
+                    if probe_scores is not None
+                    else {}
+                ),
             },
         )
 
@@ -518,6 +585,11 @@ class AdversarialDetector:
             flags = agg > threshold
         if cfg.two_sided:
             flags = flags | (agg < cfg.lower_threshold)
+        probe_scores = None
+        if self._probe is not None:
+            probe_scores = self.hub_probe_scores(img_emb)
+            if self._probe_threshold is not None:
+                flags = flags | (probe_scores > self._probe_threshold)
 
         self.stats["detections"] += B
         self.stats["adversarial_detected"] += int(flags.sum())
@@ -530,6 +602,14 @@ class AdversarialDetector:
                 "variant_mean": np.asarray(out["variant_mean"]),
                 "variant_std": np.asarray(out["variant_std"]),
                 "threshold": threshold,
+                **(
+                    {
+                        "hub_probe_score": probe_scores,
+                        "hub_probe_threshold": self._probe_threshold,
+                    }
+                    if probe_scores is not None
+                    else {}
+                ),
             },
         )
 

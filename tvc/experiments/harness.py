@@ -317,6 +317,30 @@ class ExperimentHarness:
             save_results=save,
         )
 
+    def _probe_caption_pools(self, size: int = 64):
+        """Two further caption pools, disjoint from the eval window AND the
+        hubness attack pool: the defender's secret hub-probe pool and an
+        independent draw for the counter-adaptive attacker (both sample
+        the same distribution — Kerckhoffs: the attacker knows the scheme
+        and the distribution, not the defender's draw)."""
+        n = self.config.num_samples
+        hub = set(self._hubness_query_pool())
+        try:
+            ds = self._data_mgr.load_dataset(max_samples=n + 2 * 100 + 4 * size)
+            eval_texts = set(self.texts)
+            caps, seen = [], set()
+            for s in ds.samples[n:]:
+                c = s.caption
+                if c in eval_texts or c in hub or c in seen:
+                    continue
+                seen.add(c)
+                caps.append(c)
+            if len(caps) < 2 * size:
+                return [], []
+            return caps[:size], caps[size : 2 * size]
+        except Exception:
+            return [], []
+
     def _hubness_query_pool(self, size: int = 100) -> List[str]:
         """Captions DISJOINT from the eval window for the hubness attack
         (paper protocol, arXiv 2412.14113: the hub competes against the
@@ -737,6 +761,31 @@ class ExperimentHarness:
             )
             return aug.batch_generate_variants(list(self.texts), V)
 
+        # hub-probe defense branch (the response to the adaptive-hub
+        # finding, docs/adaptive_attack.md): defender arms a SECRET caption
+        # pool; the counter-adaptive attacker gets an independent draw from
+        # the same distribution
+        det = pipe.detector
+        defender_caps, attacker_caps = self._probe_caption_pools()
+        probe_kwargs: Dict[str, Any] = {}
+        if defender_caps and attacker_caps:
+            det.set_hub_probe(texts=defender_caps)
+            probe_thr = det.calibrate_hub_probe(self.images)
+
+            def probe_score_batch(adv):
+                feats = np.asarray(
+                    self.model.encode_image(det._raw_pixels(adv))
+                )
+                return det.hub_probe_scores(feats)
+
+            probe_kwargs = dict(
+                probe_score_batch=probe_score_batch,
+                probe_threshold=probe_thr,
+                attacker_probe_feats=np.asarray(
+                    self.model.encode_text(attacker_caps)
+                ),
+            )
+
         out: Dict[str, Any] = {}
         for base in self.config.attacks:
             if base not in ("pgd", "hubness"):
@@ -757,7 +806,14 @@ class ExperimentHarness:
                 ).scores,
                 gallery_feats=gallery,
                 variant_sampler=variant_sampler,
+                **probe_kwargs,
             )
+        if probe_kwargs:
+            out["hub_probe"] = {
+                "threshold": float(probe_kwargs["probe_threshold"]),
+                "pool_size": len(defender_caps),
+                "top_m": det._probe_top_m,
+            }
 
         # adaptive TEXT-space attack: defense-aware TextFooler whose
         # candidate score adds λ x band-distance of the white-box replica's
@@ -860,6 +916,8 @@ class ExperimentHarness:
                         viz.plot_dashboard(panels, name="four_scenarios_dashboard")
                     )
             for base, r in (results.get("adaptive_attack") or {}).items():
+                if not isinstance(r, dict) or "sweep" not in r:
+                    continue  # e.g. the hub_probe config block
                 lams = sorted(r["sweep"], key=float)
                 x = [float(l) for l in lams]
                 series = {

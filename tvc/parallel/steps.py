@@ -76,7 +76,9 @@ def make_serving_step(
 
     Output dict keys: ``is_adversarial``, ``aggregated``, ``tv_score``,
     ``sd_score``, ``consistency_score``, ``orig_similarity``,
-    ``variant_mean``, ``variant_std``, ``ref_idx``.
+    ``variant_mean``, ``variant_std``, ``ref_idx``, ``img`` (the
+    L2-normalized image features — the hub-probe branch consumes them
+    without a second tower dispatch, AdversarialDetector.set_hub_probe).
 
     qparams: pre-quantized int8 serving weights (``CLIPModel.qparams()``)
     when config.int8_serving — threaded into the program as a runtime
@@ -241,6 +243,7 @@ def make_serving_step(
         )
         out["is_adversarial"] = out["is_adversarial"] | (out["aggregated"] < lower)
         out["ref_idx"] = ref_idx
+        out["img"] = img  # L2-normed image features (hub-probe consumers)
         return out
 
     if mesh is not None:
@@ -320,6 +323,7 @@ def make_serving_step(
         )
         out["is_adversarial"] = out["is_adversarial"] | (out["aggregated"] < lower)
         out["ref_idx"] = ref_idx
+        out["img"] = img  # L2-normed image features (hub-probe consumers)
         return out
 
     if mesh is None:
@@ -344,6 +348,7 @@ def make_serving_step(
             "variant_mean": data_nd(1),
             "variant_std": data_nd(1),
             "ref_idx": data_nd(2),
+            "img": data_nd(2),
         }
         jitted = jax.jit(
             step,
