@@ -219,3 +219,28 @@ def test_stop_and_restart():
     # submit on a stopped runtime raises instead of blocking to timeout
     with pytest.raises(RuntimeError):
         rt.submit(_imgs(1, size), ["z"])
+
+
+def test_serving_hub_probe_armed():
+    """ServingConfig.hub_probe_texts arms + calibrates the hub screen on
+    the production runtime; flagged details ride the serving result."""
+    import numpy as np
+
+    from tvc.serving import ServingConfig, ServingRuntime
+
+    rt = ServingRuntime(
+        ServingConfig(
+            clip_model="tiny",
+            bank_size=64,
+            hub_probe_texts=tuple(
+                f"a probe caption number {i} about scenes" for i in range(16)
+            ),
+        )
+    )
+    rng = np.random.default_rng(0)
+    size = rt.detector.model.config.image_size
+    clean = rng.random((8, size, size, 3)).astype(np.float32)
+    thr = rt.calibrate_hub_probe(clean, quantile=0.9)
+    assert np.isfinite(thr)
+    res = rt.detector.detect_batch(clean, [f"query {i} text" for i in range(8)])
+    assert "hub_probe_score" in res.details

@@ -63,6 +63,12 @@ class ServingConfig:
     #: set to {batch buckets} x one text shape, all covered by warmup();
     #: longer texts truncate with EOT pinned in-window
     text_bucket: int = 32
+    #: hub-probe defense (AdversarialDetector.set_hub_probe): captions for
+    #: the defender's secret probe pool — arms the k-occurrence-style hub
+    #: screen the adaptive evaluation showed is required against white-box
+    #: hub attacks (docs/adaptive_attack.md). Calibrate at runtime with
+    #: runtime.calibrate_hub_probe(clean_images).
+    hub_probe_texts: tuple = ()
     seed: int = 0
 
 
@@ -158,9 +164,16 @@ class ServingRuntime:
         }
         if cfg.detection_threshold is not None:
             det_kw["detection_threshold"] = cfg.detection_threshold
-        return AdversarialDetector(
+        det = AdversarialDetector(
             model, retriever=retriever, config=DetectorConfig(**det_kw)
         )
+        if cfg.hub_probe_texts:
+            det.set_hub_probe(texts=list(cfg.hub_probe_texts))
+        return det
+
+    def calibrate_hub_probe(self, clean_images, quantile: float = 0.995) -> float:
+        """Calibrate the armed hub-probe threshold on clean traffic."""
+        return self.detector.calibrate_hub_probe(clean_images, quantile=quantile)
 
     # -- lifecycle ---------------------------------------------------------------
     def warmup(self) -> None:
