@@ -245,25 +245,43 @@ def adaptive_attack_table(res: Dict[str, Any]) -> List[Dict[str, Any]]:
                     "auroc_band": m.get("auroc_band"),
                     "evasion_success": m.get("evasion_success_rate"),
                     **(
+                        {"evasion_w_hub_probe": m["evasion_with_hub_probe"]}
+                        if "evasion_with_hub_probe" in m
+                        else {}
+                    ),
+                    **(
                         {"mean_hubness_score": m["mean_hubness_score"]}
                         if "mean_hubness_score" in m
                         else {}
                     ),
                 }
             )
-        strong = r.get("strong")
-        if isinstance(strong, dict):
-            rows.append(
-                {
-                    "attack": f"{base} (strong: {strong.get('num_steps')} "
-                    f"steps, EOT={strong.get('eot_samples')})",
-                    "lambda": strong.get("penalty_weight"),
-                    "attack_success": strong.get("attack_success_rate"),
-                    "detection_rate": strong.get("detection_rate"),
-                    "auroc_band": strong.get("auroc_band"),
-                    "evasion_success": strong.get("evasion_success_rate"),
-                }
-            )
+        for key, label in (
+            ("strong", "strong"),
+            ("strong_vs_probe", "strong vs probe"),
+        ):
+            strong = r.get(key)
+            if isinstance(strong, dict):
+                rows.append(
+                    {
+                        "attack": f"{base} ({label}: {strong.get('num_steps')} "
+                        f"steps, EOT={strong.get('eot_samples')})",
+                        "lambda": strong.get("penalty_weight"),
+                        "attack_success": strong.get("attack_success_rate"),
+                        "detection_rate": strong.get("detection_rate"),
+                        "auroc_band": strong.get("auroc_band"),
+                        "evasion_success": strong.get("evasion_success_rate"),
+                        **(
+                            {
+                                "evasion_w_hub_probe": strong[
+                                    "evasion_with_hub_probe"
+                                ]
+                            }
+                            if "evasion_with_hub_probe" in strong
+                            else {}
+                        ),
+                    }
+                )
     return _fmt_rows(rows)
 
 
