@@ -507,7 +507,7 @@ def _qwen7b_stage(n_prompts=192, n_qwen=3, reduced=False):
         gc.collect()
 
 
-def _sd_genref_stage(model, texts, n_texts=32, n_refs=2, reduced=False):
+def _sd_genref_stage(model, texts, n_texts=32, n_refs=2, reduced=False, emit_cb=None):
     """BASELINE config #5: SD reference synthesis amortized through the
     embedding bank. Generates n_refs 256px/20-step images for n_texts
     unique queries (REAL COCO captions) in chunked batched diffusion
@@ -547,16 +547,11 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2, reduced=False):
             images.extend(per_prompt)
     gen_s = time.time() - t0
     n_img = len(images)
-    t0 = time.time()
-    emb = np.asarray(model.encode_image(list(images)))  # resize 256->224 + encode
-    embed_s = time.time() - t0
     img_per_s = n_img / gen_s
     log(
-        f"sd genref: {n_img} images in {gen_s:.1f}s = {img_per_s:.1f} img/s "
-        f"(+{embed_s:.1f}s CLIP embed); cold {gen_s / n_texts * 1e3:.1f} ms/query, "
-        f"steady ~0 (bank-amortized)"
+        f"sd genref: {n_img} images in {gen_s:.1f}s = {img_per_s:.1f} img/s; "
+        f"cold {gen_s / n_texts * 1e3:.1f} ms/query, steady ~0 (bank-amortized)"
     )
-    assert emb.shape == (n_img, model.config.embed_dim)
     out = {
         "sd_img_per_s": round(img_per_s, 2),
         "sd_ms_per_query_cold": round(gen_s / n_texts * 1e3, 2),
@@ -564,15 +559,57 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2, reduced=False):
         "sd_image_size": cfg.image_size,
         "sd_init_s": round(init_s, 1),
     }
-    del sd
-    gc.collect()
+    # the 256px numbers are certified NOW — a budget kill during the 512px
+    # section below must not lose them (round-5 rehearsal: a cold 512px
+    # sampler compile overran the stage estimate and the whole stage's
+    # results never reached stdout)
+    if emit_cb is not None:
+        emit_cb(out)
+    # Bank-row embedding validation, AFTER the headline emit and budget-
+    # gated: the standalone b=64 CLIP image tower is a distinct program
+    # from the K-chain's fused int8 tower, and cache-key epoch bumps
+    # (docs/architecture.md round-5 addendum) make it cold-compile ~40s in
+    # most runs — validation must not endanger the certified numbers.
+    # Fixed batch of 64 (pad by repetition): one program shape across
+    # full/reduced modes.
+    if remaining_s() > 55:
+        t0 = time.time()
+        emb_in = (list(images) * ((64 // n_img) + 1))[:64]
+        emb = np.asarray(model.encode_image(emb_in))[:n_img]
+        embed_s = time.time() - t0
+        log(
+            f"sd ref embed (b=64 tower): {embed_s:.1f}s "
+            f"[{compile_kind(embed_s, warm_below_s=10)}]"
+        )
+        assert emb.shape == (n_img, model.config.embed_dim)
+        out["sd_embed_s"] = round(embed_s, 1)
+        if emit_cb is not None:
+            emit_cb(out)
+    else:
+        log(f"sd ref embed: skipped (remaining {remaining_s():.0f}s < 55s)")
     if reduced:
+        del sd
+        gc.collect()
         return out
 
     # the reference's 512px contract, measured on a smaller sample (the
-    # per-image cost is ~4x 256px; 8 images bound the added wall time)
+    # per-image cost is ~4x 256px; 8 images bound the added wall time).
+    # Gated on its own measured cold cost (sampler compile ~110s + gen):
+    # with a warm cache it costs ~25s.
+    if remaining_s() < 60:
+        log(f"sd 512px: skipped (remaining {remaining_s():.0f}s < 60s)")
+        del sd
+        gc.collect()
+        return out
     cfg512 = dataclasses.replace(SDConfig(), image_size=512)
-    sd512 = StableDiffusionModel(cfg512, seed=0)
+    # UNet/VAE are fully convolutional: params are shape-identical across
+    # image sizes — share the 256px model's tree (and text encoder) instead
+    # of paying a second ~59s jitted init + transfer
+    sd512 = StableDiffusionModel(
+        cfg512, params=sd.params, seed=0, text_encoder=sd._text_encoder
+    )
+    del sd
+    gc.collect()
     n512 = min(4, n_texts)
     _ = sd512.generate_images_batch(texts[:n512], num_images=n_refs, seed=0)
     t0 = time.time()
@@ -614,12 +651,31 @@ def main():
     phase("jax import + jax.devices() probe")
     log_cache_state()
 
+    # Placeholder JSON line BEFORE the first device readback: a sustained
+    # tunnel brownout (observed 2026-08-20: >650s, outlasting the whole
+    # budget) would otherwise leave the driver with NO line at all if it
+    # kills the process mid-warmup. The last line wins at the parser, so
+    # every later emit() supersedes this.
+    emit(
+        {
+            "metric": "defended_queries_per_sec",
+            "value": 0.0,
+            "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": "killed during tunnel warmup readback (axon brownout) "
+            "— placeholder line, no stage ran",
+        }
+    )
+
     # phase 0: one tiny dispatch+readback BEFORE any real work, with a
     # liveness watchdog. The axon tunnel has transient brownout windows
     # (observed 2026-08-19: 424s and >460s stalls on a fresh process's
-    # first readback, healthy 27ms RTT minutes later) — absorbing the
-    # stall here puts it on its own phase line instead of smearing it
-    # into whichever core phase first touches the device.
+    # first readback, healthy 27ms RTT minutes later; 2026-08-20: >650s) —
+    # absorbing the stall here puts it on its own phase line instead of
+    # smearing it into whichever core phase first touches the device.
+    # The readback runs on a daemon thread with a hard bound: past the
+    # point where even the core stage could no longer fit, fail into the
+    # error JSON instead of hanging until the driver's kill.
     import jax.numpy as _jnp
 
     _rb_done = threading.Event()
@@ -634,10 +690,35 @@ def main():
 
     _wd = threading.Thread(target=_watchdog, daemon=True)
     _wd.start()
-    _ = float(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 8)))[0, 0])
-    _rb_done.set()
+
+    def _warm_readback():
+        _ = float(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 8)))[0, 0])
+        _rb_done.set()
+
+    _rb_th = threading.Thread(target=_warm_readback, daemon=True)
+    _rb_th.start()
+    # core stage needs ~150s warm; give the tunnel until only that margin
+    # of the budget is left (and never less than 120s of patience)
+    _rb_th.join(timeout=max(120.0, remaining_s() - 150.0))
+    if not _rb_done.is_set():
+        raise RuntimeError(
+            f"axon tunnel brownout: first dispatch+readback still pending "
+            f"after {time.time() - _rb_t0:.0f}s; aborting into error JSON "
+            f"(budget {BUDGET_S:.0f}s)"
+        )
     tunnel_warmup_s = time.time() - _rb_t0
     phase("tunnel warmup (first dispatch+readback)")
+    emit(
+        {
+            "metric": "defended_queries_per_sec",
+            "value": 0.0,
+            "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": "killed during core stage (after tunnel warmup "
+            f"{tunnel_warmup_s:.0f}s) before first measurement — "
+            "placeholder line",
+        }
+    )
 
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # remote compiles of the Qwen decode / SD sampler programs
@@ -1203,15 +1284,25 @@ def main():
         emit(summary)
 
     # -- config #5: SD genref amortized through the bank ----------------------
-    # est = measured warm-cache cost (~70s: init 60s + gen 3s + embed 2s +
-    # 512px ~5s) + margin. The risky case — SD programs cold while earlier
-    # stages ran warm — needs an SD code change without a re-warm run; a
-    # fully cold cache slows the CORE stages first, so rem at this gate is
-    # already < est and the stage skips gracefully.
+    # est = measured warm-cache cost (full ~100s: init 59s + sampler hit 8s +
+    # gen 3s + embed 3s + 512px ~25s; reduced ~70s). Cold-cache overruns are
+    # contained INSIDE the stage now: the 256px numbers emit via emit_cb the
+    # moment they exist, and the 512px section (whose cold sampler compile
+    # alone is ~110s) gates on its own remaining-budget check — so a driver
+    # kill mid-512px still leaves sd_img_per_s on stdout.
     mode = "--skip-sd" not in sys.argv and stage_mode("sd_genref", 100, 70)
     if mode:
+
+        def _sd_emit(partial):
+            summary.update(partial)
+            emit(summary)
+
         try:
-            summary.update(_sd_genref_stage(model, texts, reduced=(mode == "reduced")))
+            summary.update(
+                _sd_genref_stage(
+                    model, texts, reduced=(mode == "reduced"), emit_cb=_sd_emit
+                )
+            )
         except Exception as e:
             log(f"sd genref stage failed: {type(e).__name__}: {e}")
             summary["sd_error"] = f"{type(e).__name__}: {e}"[:200]
