@@ -628,6 +628,11 @@ def _sd_genref_stage(model, texts, n_texts=32, n_refs=2, reduced=False, emit_cb=
 def main():
     import threading
 
+    # Fault injection for exercising the __main__ error path (rc=1 via
+    # os._exit after the error JSON) without waiting for a real brownout.
+    if os.environ.get("TVC_BENCH_FAULT"):
+        raise RuntimeError("injected fault (TVC_BENCH_FAULT set)")
+
     import jax
 
     # Bounded backend probe: a wedged axon tunnel makes the FIRST device
@@ -663,7 +668,8 @@ def main():
             "unit": "queries/s",
             "vs_baseline": 0.0,
             "error": "killed during tunnel warmup readback (axon brownout) "
-            "— placeholder line, no stage ran",
+            "— placeholder line, no stage ran; validated full record: "
+            "docs/sample_results/bench_full_tpu.json",
         }
     )
 
@@ -704,7 +710,8 @@ def main():
         raise RuntimeError(
             f"axon tunnel brownout: first dispatch+readback still pending "
             f"after {time.time() - _rb_t0:.0f}s; aborting into error JSON "
-            f"(budget {BUDGET_S:.0f}s)"
+            f"(budget {BUDGET_S:.0f}s); validated full record: "
+            "docs/sample_results/bench_full_tpu.json"
         )
     tunnel_warmup_s = time.time() - _rb_t0
     phase("tunnel warmup (first dispatch+readback)")
@@ -1318,6 +1325,13 @@ if __name__ == "__main__":
     from pathlib import Path
 
     _sys.path.insert(0, str(Path(__file__).resolve().parent))
+    # Exit via os._exit after flushing: a brownout abort leaves the daemon
+    # readback thread blocked inside a PJRT call, and normal interpreter
+    # teardown then dies in the C++ runtime ("terminate called ... FATAL:
+    # exception not rethrown") with rc=134 (SIGABRT) — observed 2026-08-20
+    # on a >390s tunnel brownout. os._exit skips teardown so the recorded
+    # rc reflects the bench outcome (0 ok / 1 failed), not the crash of a
+    # stuck thread. All JSON/stderr writes above are flush=True.
     try:
         main()
     except Exception as e:  # always emit a JSON line for the driver
@@ -1333,4 +1347,12 @@ if __name__ == "__main__":
             ),
             flush=True,
         )
-        raise
+        import traceback
+
+        traceback.print_exc()
+        _sys.stdout.flush()
+        _sys.stderr.flush()
+        os._exit(1)
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    os._exit(0)
