@@ -635,6 +635,15 @@ def main():
 
     import jax
 
+    # --cpu: force the host platform (JAX_PLATFORMS in the env is pinned
+    # to axon by sitecustomize before main() runs, so an env override is
+    # too late — only jax.config works here). For judges/CI without a
+    # chip: `python bench.py --small --cpu` exercises the whole protocol;
+    # the numbers are host numbers, clearly labeled by the summary's
+    # "backend" field.
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
     # Bounded backend probe: a wedged axon tunnel makes the FIRST device
     # op hang forever (observed: jax.devices() blocked >9 min while the
     # relay accepted TCP), which would leave the driver with no JSON line

@@ -57,10 +57,18 @@ def main():
     )
     texts = batch["texts"][: args.num_samples]
     clean = pipe.process_batch(attack_images, texts)
+    # calibrate the clean band before judging (an uncalibrated default
+    # threshold makes the flag count meaningless): anything outside the
+    # clean-score band — too inconsistent (PGD-like) or too consistent
+    # (hubness-like) — flags adversarial
+    lo, hi = pipe.detector.calibrate_two_sided(clean.scores, quantile=0.9)
     adv = pipe.process_batch(result.adv_images, texts)
+    recal = pipe.process_batch(attack_images, texts)
     print(f"   mean clean score: {clean.scores.mean():.3f}")
     print(f"   mean adv score:   {adv.scores.mean():.3f}")
+    print(f"   clean band (q=0.9): [{lo:.3f}, {hi:.3f}]")
     print(f"   adversarial flagged: {int(adv.is_adversarial.sum())}/{len(texts)}")
+    print(f"   clean false alarms:  {int(recal.is_adversarial.sum())}/{len(texts)}")
 
 
 if __name__ == "__main__":
