@@ -194,6 +194,21 @@ def test_hardware_detector_and_profiles():
     assert cfg["batch"]["default_size"] == profile.batch_size
 
 
+def test_probe_device_health_cpu():
+    """Bounded dispatch+readback liveness probe: healthy on the CPU mesh,
+    with a measured first readback and RTT samples (the unhealthy branch
+    is exercised live against real tunnel brownouts; its rc=1 CLI
+    contract is covered by mm-hardware-detect --probe)."""
+    from tvc.utils.hardware import probe_device_health
+
+    h = probe_device_health(timeout_s=60.0, rtt_probes=2)
+    assert h["healthy"] is True
+    assert h["diagnosis"] == "ok"
+    assert h["platform"] == "cpu"
+    assert h["first_readback_s"] is not None and h["first_readback_s"] < 60
+    assert len(h["rtt_ms"]) == 2
+
+
 def test_seed_context():
     import random
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -50,10 +51,37 @@ def attack_main(argv: Optional[Sequence[str]] = None) -> None:
 
 
 def hardware_detect_main(argv: Optional[Sequence[str]] = None) -> None:
-    """mm-hardware-detect (reference scripts/deploy.py hardware probe)."""
+    """mm-hardware-detect (reference scripts/deploy.py hardware probe).
+
+    --probe additionally runs a BOUNDED dispatch+readback liveness check
+    (exit 1 if the execution path is down) — on tunneled TPU backends,
+    device enumeration succeeds even while the execution queue is
+    browned out, so static detection alone can't tell you whether a run
+    would hang."""
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--probe", action="store_true",
+        help="run a bounded dispatch+readback health probe",
+    )
+    p.add_argument("--probe-timeout", type=float, default=30.0)
+    args = p.parse_args(argv)
     from tvc.utils import HardwareDetector
 
-    print(json.dumps(HardwareDetector().summary(), indent=2))
+    summary = HardwareDetector().summary()
+    if args.probe:
+        from tvc.utils.hardware import probe_device_health
+
+        summary["health"] = probe_device_health(timeout_s=args.probe_timeout)
+    print(json.dumps(summary, indent=2))
+    if args.probe and not summary["health"]["healthy"]:
+        # the probe's daemon thread is still wedged inside a PJRT call;
+        # normal interpreter teardown would SIGABRT in the C++ runtime
+        # (rc=134) — flush and exit directly so callers see rc=1
+        sys.stdout.flush()
+        sys.stderr.flush()
+        import os
+
+        os._exit(1)
 
 
 def config_gen_main(argv: Optional[Sequence[str]] = None) -> None:

@@ -109,6 +109,69 @@ class HardwareDetector:
         }
 
 
+def probe_device_health(timeout_s: float = 30.0, rtt_probes: int = 3) -> Dict[str, Any]:
+    """Bounded end-to-end device health probe.
+
+    ``jax.devices()`` succeeding does NOT mean the device path is usable:
+    on a tunneled backend (axon) platform registration stays up while the
+    execution queue browns out, and the first dispatch+readback of a fresh
+    process can then hang for minutes (observed >390s, 2026-08-20 — see
+    docs/architecture.md). The only valid liveness signal is a completed
+    dispatch+readback, so that is what this runs — on a daemon thread with
+    a hard bound, never hanging the caller.
+
+    Returns ``{"healthy": bool, "first_readback_s": float | None,
+    "rtt_ms": [...], "platform": str, "diagnosis": str}``. Replaces the
+    reference's nvidia-smi-style liveness checks (cuda_utils.py:167+),
+    which assume a locally attached device that is reachable iff present.
+    """
+    import threading
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    out: Dict[str, Any] = {
+        "healthy": False,
+        "first_readback_s": None,
+        "rtt_ms": [],
+        "platform": None,
+        "diagnosis": "",
+    }
+    try:
+        out["platform"] = jax.default_backend()
+    except Exception as e:  # backend init itself failed
+        out["diagnosis"] = f"backend init failed: {type(e).__name__}: {e}"
+        return out
+
+    done = threading.Event()
+    t0 = _time.time()
+
+    def _readback():
+        f = jax.jit(lambda x: x + 1.0)
+        float(f(jnp.zeros((8, 8)))[0, 0])
+        out["first_readback_s"] = round(_time.time() - t0, 3)
+        # steady-state RTT once live (drifts over minutes; probe fresh)
+        for _ in range(rtt_probes):
+            t1 = _time.time()
+            float(f(jnp.zeros((8, 8)))[0, 0])
+            out["rtt_ms"].append(round((_time.time() - t1) * 1e3, 1))
+        done.set()
+
+    th = threading.Thread(target=_readback, daemon=True)
+    th.start()
+    if not done.wait(timeout_s):
+        out["diagnosis"] = (
+            f"dispatch+readback still pending after {timeout_s:.0f}s — "
+            "execution path down (tunnel brownout / queue backlog) even "
+            "though platform registration succeeded"
+        )
+        return out
+    out["healthy"] = True
+    out["diagnosis"] = "ok"
+    return out
+
+
 def device_memory_stats(device=None) -> Dict[str, int]:
     """Live HBM stats (replaces GPUMonitor, reference cuda_utils.py:167+)."""
     import jax
