@@ -244,3 +244,88 @@ def test_serving_hub_probe_armed():
     assert np.isfinite(thr)
     res = rt.detector.detect_batch(clean, [f"query {i} text" for i in range(8)])
     assert "hub_probe_score" in res.details
+
+
+def test_drift_monitor_detects_campaign_shift():
+    """The rolling-score KS monitor: no alert while served traffic matches
+    the clean reference; alert once a campaign of shifted-score queries
+    dominates the window (no per-query flag needed). Uses an injected
+    detector so only the serving-layer logic is under test."""
+
+    class _Det:
+        def __init__(self):
+            self.mu = 0.5
+            self.calls = 0
+
+        def detect_batch(self, images, texts):
+            n = len(texts)
+            self.calls += 1
+            rng = np.random.default_rng(self.calls)
+            scores = rng.normal(self.mu, 0.02, n)
+
+            class R:
+                aggregated_score = scores
+                is_adversarial = scores < 0.0  # never fires per-query
+
+            return R()
+
+    rt = ServingRuntime(
+        ServingConfig(
+            clip_model="tiny",
+            batch_max_size=8,
+            batch_max_wait_ms=0.0,
+            drift_window=64,
+            drift_min_samples=32,
+            drift_ks_alert=0.25,
+        ),
+        detector=_Det(),
+    )
+    rt.set_drift_reference(np.random.default_rng(0).normal(0.5, 0.02, 256))
+    rt.start(http=False)
+    imgs = np.zeros((8, 4, 4, 3), np.float32)
+    texts = [f"q{i}" for i in range(8)]
+    for _ in range(8):  # fill the window with clean-distribution traffic
+        rt.submit(imgs, texts)
+    st = rt.drift_status()
+    assert st["window_n"] >= 32 and st["alert"] is False, st
+    rt.detector.mu = 0.35  # campaign: individually-borderline queries
+    for _ in range(8):
+        rt.submit(imgs, texts)
+    st = rt.drift_status()
+    assert st["alert"] is True and st["ks"] > 0.25, st
+    assert rt.stats()["drift"]["alert"] is True
+    rt.stop()
+
+
+def test_drift_monitor_self_reference_when_uncalibrated():
+    """Without an explicit clean reference the first full window becomes
+    the baseline, reported as such."""
+
+    class _Det:
+        def detect_batch(self, images, texts):
+            n = len(texts)
+
+            class R:
+                aggregated_score = np.full(n, 0.5)
+                is_adversarial = np.zeros(n, bool)
+
+            return R()
+
+    rt = ServingRuntime(
+        ServingConfig(
+            clip_model="tiny",
+            batch_max_size=8,
+            batch_max_wait_ms=0.0,
+            drift_window=16,
+            drift_min_samples=8,
+        ),
+        detector=_Det(),
+    )
+    rt.start(http=False)
+    imgs = np.zeros((8, 4, 4, 3), np.float32)
+    for _ in range(4):
+        rt.submit(imgs, [f"q{i}" for i in range(8)])
+    st = rt.drift_status()
+    assert st["reference_source"] == "first_served_traffic"
+    assert st["reference_n"] == 16
+    rt.stop()

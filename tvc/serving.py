@@ -69,6 +69,19 @@ class ServingConfig:
     #: hub attacks (docs/adaptive_attack.md). Calibrate at runtime with
     #: runtime.calibrate_hub_probe(clean_images).
     hub_probe_texts: tuple = ()
+    #: score-drift monitor: rolling window of served aggregate scores,
+    #: KS-tested against a clean reference distribution. Catches
+    #: campaign-level shifts (many borderline-adversarial queries, a
+    #: distribution the per-query threshold doesn't flag) that no single
+    #: query reveals. Set the reference explicitly from calibration
+    #: traffic with set_drift_reference(); otherwise the first full
+    #: window of served scores self-references (reported as such).
+    #: 0 disables the monitor.
+    drift_window: int = 512
+    #: minimum window fill before a drift verdict is computed
+    drift_min_samples: int = 64
+    #: alert when the two-sample KS statistic exceeds this
+    drift_ks_alert: float = 0.25
     seed: int = 0
 
 
@@ -116,6 +129,9 @@ class ServingRuntime:
             "errors": 0,
             "batch_bucket_counts": {},  # padded bucket size -> detector calls
         }
+        self._drift_scores: deque = deque(maxlen=max(self.config.drift_window, 1))
+        self._drift_ref: Optional[np.ndarray] = None
+        self._drift_ref_source: Optional[str] = None
 
     @property
     def _max_bucket(self) -> int:
@@ -174,6 +190,65 @@ class ServingRuntime:
     def calibrate_hub_probe(self, clean_images, quantile: float = 0.995) -> float:
         """Calibrate the armed hub-probe threshold on clean traffic."""
         return self.detector.calibrate_hub_probe(clean_images, quantile=quantile)
+
+    # -- score-drift monitor -----------------------------------------------------
+    def set_drift_reference(self, clean_scores) -> None:
+        """Pin the drift monitor's clean reference distribution (use the
+        aggregate scores of known-clean calibration traffic — e.g. the
+        same batch that calibrated the detection threshold)."""
+        ref = np.asarray(clean_scores, np.float64).ravel()
+        if ref.size < 2:
+            raise ValueError("drift reference needs >= 2 clean scores")
+        with self._lock:
+            self._drift_ref = ref
+            self._drift_ref_source = "calibration"
+
+    def _drift_feed(self, scores: np.ndarray) -> None:
+        """Called by _run_batch with each chunk's REAL (unpadded) scores."""
+        if self.config.drift_window <= 0:
+            return
+        with self._lock:
+            self._drift_scores.extend(float(s) for s in scores)
+            if (
+                self._drift_ref is None
+                and len(self._drift_scores) >= self._drift_scores.maxlen
+            ):
+                # no calibration reference supplied: the first full window
+                # of live traffic becomes the baseline (reported as such —
+                # it assumes that traffic was predominantly clean)
+                self._drift_ref = np.fromiter(self._drift_scores, np.float64)
+                self._drift_ref_source = "first_served_traffic"
+                self._drift_scores.clear()
+
+    def drift_status(self) -> Dict[str, Any]:
+        """Two-sample KS test of the rolling served-score window against
+        the clean reference. ``alert`` means the score distribution has
+        shifted — e.g. an attack campaign of individually-borderline
+        queries — even if few individual queries crossed the threshold."""
+        with self._lock:
+            ref = self._drift_ref
+            src = self._drift_ref_source
+            win = np.fromiter(self._drift_scores, np.float64)
+        out: Dict[str, Any] = {
+            "enabled": self.config.drift_window > 0,
+            "reference_source": src,
+            "reference_n": 0 if ref is None else int(ref.size),
+            "window_n": int(win.size),
+            "ks": None,
+            "p_value": None,
+            "alert": False,
+        }
+        if ref is None or win.size < self.config.drift_min_samples:
+            return out
+        from scipy.stats import ks_2samp
+
+        ks = ks_2samp(ref, win)
+        out["ks"] = round(float(ks.statistic), 4)
+        out["p_value"] = float(ks.pvalue)
+        out["alert"] = bool(
+            ks.statistic > self.config.drift_ks_alert and ks.pvalue < 0.01
+        )
+        return out
 
     # -- lifecycle ---------------------------------------------------------------
     def warmup(self) -> None:
@@ -337,6 +412,7 @@ class ServingRuntime:
                 det = self.detector.detect_batch(part_img, part_txt)
                 scores[off : off + m] = np.asarray(det.aggregated_score)[:m]
                 is_adv[off : off + m] = np.asarray(det.is_adversarial)[:m]
+                self._drift_feed(scores[off : off + m])
                 with self._lock:
                     self.counters["batches"] += 1
                     self.counters["batch_size_sum"] += m
@@ -380,6 +456,7 @@ class ServingRuntime:
         if lat:
             out["latency_p50_ms"] = round(1e3 * lat[len(lat) // 2], 3)
             out["latency_p99_ms"] = round(1e3 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3)
+        out["drift"] = self.drift_status()
         return out
 
 
