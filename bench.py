@@ -706,36 +706,23 @@ def main():
     _wd = threading.Thread(target=_watchdog, daemon=True)
     _wd.start()
 
+    _rb_done_t = [0.0]
+
     def _warm_readback():
         _ = float(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 8)))[0, 0])
+        _rb_done_t[0] = time.time()
         _rb_done.set()
 
     _rb_th = threading.Thread(target=_warm_readback, daemon=True)
     _rb_th.start()
-    # core stage needs ~150s warm; give the tunnel until only that margin
-    # of the budget is left (and never less than 120s of patience)
-    _rb_th.join(timeout=max(120.0, remaining_s() - 150.0))
-    if not _rb_done.is_set():
-        raise RuntimeError(
-            f"axon tunnel brownout: first dispatch+readback still pending "
-            f"after {time.time() - _rb_t0:.0f}s; aborting into error JSON "
-            f"(budget {BUDGET_S:.0f}s); validated full record: "
-            "docs/sample_results/bench_full_tpu.json"
-        )
-    tunnel_warmup_s = time.time() - _rb_t0
-    phase("tunnel warmup (first dispatch+readback)")
-    emit(
-        {
-            "metric": "defended_queries_per_sec",
-            "value": 0.0,
-            "unit": "queries/s",
-            "vs_baseline": 0.0,
-            "error": "killed during core stage (after tunnel warmup "
-            f"{tunnel_warmup_s:.0f}s) before first measurement — "
-            "placeholder line",
-        }
-    )
 
+    # ---- host-only setup, OVERLAPPED with the warmup wait ----------------
+    # Everything until the join below touches no device: a brownout that
+    # ends late costs that much less wall-clock because imports, caption
+    # load, the host augmenter, tokenization, and bucketing already ran
+    # while the readback was pending (~25-45s of 1-core host work at full
+    # scale). Device-touching setup (CLIP init, bank build) stays after
+    # the join.
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # remote compiles of the Qwen decode / SD sampler programs
     try:
@@ -750,8 +737,6 @@ def main():
     from tvc.models import CLIPConfig, CLIPModel
     from tvc.models.clip import CLIPModule, bucket_text_tokens, normalize_pixels
 
-    backend = jax.default_backend()
-    log(f"backend: {backend} devices: {jax.devices()}")
     phase("tvc imports")
 
     import dataclasses
@@ -768,23 +753,22 @@ def main():
     V = 6
     K = 10
     BANK_N = 4096 if small else 131072
-    model = CLIPModel(cfg, seed=0)
-    module = model.inference_module
     D = cfg.embed_dim
-    phase(f"CLIP {cfg.model_name} init")
 
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    pixels = jax.random.uniform(k1, (B, cfg.image_size, cfg.image_size, 3))
     # REAL COCO val2017 captions (bundled annotation text,
     # tvc/assets/coco_captions_val2017.json.gz): natural lengths/vocab
     # drive the tokenizer, sequence bucketing, and variant generation
     from tvc.augment.text_augment import TextAugmentConfig, TextAugmenter
     from tvc.data.loaders import load_coco_captions
+    from tvc.models.tokenizer import get_tokenizer
 
     texts = [c for _, c in load_coco_captions()[:B]]
     phase("caption load")
-    tokens_np = np.asarray(model.tokenize(texts))
+    # tokenizer built from config alone (no model): tokenize is pure host
+    tokenizer = get_tokenizer(
+        vocab_size=cfg.vocab_size, context_length=cfg.context_length
+    )
+    tokens_np = np.asarray(tokenizer(texts))
     # config #1's pre-generated variants: host strategies on the real
     # captions (synonym/syntax/template), padded with the original
     _aug = TextAugmenter(
@@ -796,8 +780,46 @@ def main():
         ((_aug.generate_variants(t, V) or [t]) * V)[:V] for t in texts
     ]
     phase(f"host augmenter ({B} captions x {V} variants)")
-    variant_tokens_np = np.stack([model.tokenize(vs) for vs in _variants])  # [B, V, T]
+    variant_tokens_np = np.stack([tokenizer(vs) for vs in _variants])  # [B, V, T]
     phase("tokenize originals + variants")
+
+    # ---- end host-only setup: now wait out the tunnel ---------------------
+    # core stage needs ~150s warm; give the tunnel until only that margin
+    # of the budget is left (and never less than 120s of patience). The
+    # brownout clock ran concurrently with the host setup above, so the
+    # abort happens at the same wall-clock point as before the overlap.
+    _rb_th.join(timeout=max(120.0, remaining_s() - 150.0))
+    if not _rb_done.is_set():
+        raise RuntimeError(
+            f"axon tunnel brownout: first dispatch+readback still pending "
+            f"after {time.time() - _rb_t0:.0f}s; aborting into error JSON "
+            f"(budget {BUDGET_S:.0f}s); validated full record: "
+            "docs/sample_results/bench_full_tpu.json"
+        )
+    # time the READBACK took (not the join point): host setup overlapped it
+    tunnel_warmup_s = _rb_done_t[0] - _rb_t0
+    phase("tunnel warmup (first dispatch+readback, overlapped with setup)")
+    emit(
+        {
+            "metric": "defended_queries_per_sec",
+            "value": 0.0,
+            "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": "killed during core stage (after tunnel warmup "
+            f"{tunnel_warmup_s:.0f}s) before first measurement — "
+            "placeholder line",
+        }
+    )
+
+    backend = jax.default_backend()
+    log(f"backend: {backend} devices: {jax.devices()}")
+    model = CLIPModel(cfg, seed=0, tokenizer=tokenizer)
+    module = model.inference_module
+    phase(f"CLIP {cfg.model_name} init")
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pixels = jax.random.uniform(k1, (B, cfg.image_size, cfg.image_size, 3))
     # sequence bucketing: captions are short; the text tower is
     # length-polymorphic (positional embeddings sliced, causal mask [T, T]),
     # so encode at the smallest 8-multiple covering the real tokens instead
