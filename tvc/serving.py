@@ -516,6 +516,11 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--batch-max-wait-ms", type=float, default=5.0)
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--int8", action="store_true", help="int8 W8A8 serving kernels")
+    p.add_argument(
+        "--drift-window", type=int, default=512,
+        help="rolling score window for the drift monitor (0 disables)",
+    )
+    p.add_argument("--drift-ks-alert", type=float, default=0.25)
     args = p.parse_args(argv)
     rt = ServingRuntime(
         ServingConfig(
@@ -527,6 +532,8 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
             batch_max_size=args.batch_max_size,
             batch_max_wait_ms=args.batch_max_wait_ms,
             int8_serving=args.int8,
+            drift_window=args.drift_window,
+            drift_ks_alert=args.drift_ks_alert,
         )
     )
     if not args.no_warmup:
