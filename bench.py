@@ -135,11 +135,17 @@ def _probe_rtt(n=5):
     tiny = jax.jit(lambda x: x + 1.0)
     z = tiny(jnp.zeros((8, 8)))
     _ = float(z[0, 0])
-    t0 = _t.time()
+    # MIN of the samples, not the mean: RTT is subtracted as the floor
+    # network cost, and brownout-recovery spikes (observed 101.9 ms mean
+    # right after a stall vs ~25 ms steady) drove a mean-based estimate
+    # above the per-batch time itself, clamping latency to 0.
+    samples = []
     for _ in range(n):
+        t0 = _t.time()
         z = tiny(z)
         _ = float(z[0, 0])
-    return (_t.time() - t0) / n
+        samples.append(_t.time() - t0)
+    return min(samples)
 
 
 def _trim_tokens(full, T_b, eot):
@@ -709,12 +715,36 @@ def main():
     _rb_done_t = [0.0]
 
     def _warm_readback():
-        _ = float(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 8)))[0, 0])
-        _rb_done_t[0] = time.time()
-        _rb_done.set()
+        # Each attempt is a FRESH dispatch+readback RPC. A single wedged
+        # RPC can outlive a brownout window (observed 2026-08-20: first
+        # readback pending >390s while a healthy tunnel answers fresh
+        # dispatches in ~30ms minutes later), so the retry loop below
+        # spawns new attempts rather than waiting on the first forever.
+        try:
+            _ = float(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 8)))[0, 0])
+        except Exception:
+            return  # a failed probe is just a probe; the deadline decides
+        if not _rb_done.is_set():
+            _rb_done_t[0] = time.time()
+            _rb_done.set()
 
-    _rb_th = threading.Thread(target=_warm_readback, daemon=True)
-    _rb_th.start()
+    threading.Thread(target=_warm_readback, daemon=True).start()
+
+    def _probe_retry_loop():
+        # After 60s of silence, launch a fresh probe every 45s (each on its
+        # own daemon thread — a wedged one blocks harmlessly in PJRT and
+        # os._exit skips its teardown). First completion wins via _rb_done.
+        if _rb_done.wait(60):
+            return
+        while not _rb_done.is_set():
+            log(
+                f"launching fresh warmup probe at +{time.time() - _rb_t0:.0f}s"
+            )
+            threading.Thread(target=_warm_readback, daemon=True).start()
+            if _rb_done.wait(45):
+                return
+
+    threading.Thread(target=_probe_retry_loop, daemon=True).start()
 
     # ---- host-only setup, OVERLAPPED with the warmup wait ----------------
     # Everything until the join below touches no device: a brownout that
@@ -788,7 +818,7 @@ def main():
     # of the budget is left (and never less than 120s of patience). The
     # brownout clock ran concurrently with the host setup above, so the
     # abort happens at the same wall-clock point as before the overlap.
-    _rb_th.join(timeout=max(120.0, remaining_s() - 150.0))
+    _rb_done.wait(timeout=max(120.0, remaining_s() - 150.0))
     if not _rb_done.is_set():
         raise RuntimeError(
             f"axon tunnel brownout: first dispatch+readback still pending "
@@ -1037,12 +1067,17 @@ def main():
     # -- latency percentiles (reference README.md:897-898) -------------------
     # per-batch latency distribution: repeated k=1 dispatch+readback minus
     # the tunnel RTT (absent on directly-attached hardware)
+    # floor each sample at the chained per-batch device time: the chain
+    # measurement is RTT-free per step, so true batch latency cannot sit
+    # below it — without the floor, an RTT probe taken during a brownout
+    # recovery (101.9 ms vs ~33 ms/batch) clamped P50/P99 to 0.00.
+    t_batch_floor = elapsed / n_chain
     lat = []
     for _ in range(16):
         t0 = time.time()
         _, agg = run_chain(1)
         _ = float(agg[0])
-        lat.append(max(time.time() - t0 - rtt, 1e-9))
+        lat.append(max(time.time() - t0 - rtt, t_batch_floor))
     lat_ms = np.asarray(lat) * 1e3
     p50, p99 = float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99))
     log(f"batch latency (B={B}): P50 {p50:.2f} ms  P99 {p99:.2f} ms")
